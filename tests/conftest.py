@@ -1,0 +1,48 @@
+"""Test configuration.
+
+Unit tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (mirrors SURVEY.md §4's requirement that tests
+run without a TPU; the same suite re-runs unchanged on real chips by unsetting
+JAX_PLATFORMS).
+"""
+
+import os
+
+# Must be set before the first jax backend initialization. Note: this
+# environment may pre-register a TPU plugin and set JAX_PLATFORMS itself, so
+# overwrite (not setdefault) and also force the config below.
+if os.environ.get("ZARU_TPU_TEST_BACKEND", "cpu") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def sad_linus_full():
+    """Full test photo (reference: crates/zaru/src/test.rs:5-25)."""
+    from zaru_tpu.assets import fixture_path
+    from zaru_tpu.image import Image
+
+    return Image.load(fixture_path("sad_linus.jpg"))
+
+
+@pytest.fixture(scope="session")
+def sad_linus_cropped():
+    from zaru_tpu.assets import fixture_path
+    from zaru_tpu.image import Image
+
+    return Image.load(fixture_path("sad_linus_cropped.jpg"))
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)

@@ -1,0 +1,89 @@
+"""Filter math tests with the reference's hand-computed sequences
+(reference: filter/ema.rs:53-66, filter/alpha_beta.rs:65-82,
+filter/one_euro.rs)."""
+
+import numpy as np
+import pytest
+
+from zaru_tpu.filters import (
+    AlphaBetaFilter,
+    Ema,
+    NoopFilter,
+    OneEuroFilter,
+    SimpleFilter,
+)
+
+
+def test_ema_reference_sequence():
+    f = SimpleFilter(Ema(0.5))
+    assert f.filter(1.0) == 1.0
+    assert f.filter(2.0) == 1.5
+    assert f.filter(2.0) == 1.75
+
+
+def test_alpha_beta_reference_sequence():
+    f = SimpleFilter(AlphaBetaFilter(0.5, 0.1))
+    for _ in range(4):
+        assert f.filter(10.0, elapsed=0.2) == 10.0
+    assert f.filter(-10.0, elapsed=0.2) == pytest.approx(0.0)
+    assert f.filter(-10.0, elapsed=0.2) == pytest.approx(-6.0)
+    assert f.filter(-10.0, elapsed=0.2) == pytest.approx(-9.4, abs=1e-5)
+
+
+def test_one_euro_first_value_passthrough():
+    f = SimpleFilter(OneEuroFilter(min_cutoff=1.0, beta=0.0))
+    assert f.filter(5.0, elapsed=0.0) == 5.0
+
+
+def test_one_euro_smooths_jitter():
+    f = SimpleFilter(OneEuroFilter(min_cutoff=0.1, beta=0.0))
+    rng = np.random.default_rng(3)
+    noisy = 10.0 + rng.normal(0, 1.0, 100).astype(np.float32)
+    outs = [f.filter(float(v), elapsed=1 / 30.0) for v in noisy]
+    # Output variance should be much smaller than input variance.
+    assert np.var(outs[50:]) < 0.3 * np.var(noisy[50:])
+
+
+def test_one_euro_tracks_fast_motion():
+    slow = SimpleFilter(OneEuroFilter(min_cutoff=0.1, beta=0.0))
+    fast = SimpleFilter(OneEuroFilter(min_cutoff=0.1, beta=5.0))
+    ramp = np.linspace(0, 100, 60)
+    for v in ramp:
+        s = slow.filter(float(v), elapsed=1 / 30.0)
+        fa = fast.filter(float(v), elapsed=1 / 30.0)
+    # High beta follows the ramp more closely.
+    assert abs(fa - 100.0) < abs(s - 100.0)
+
+
+def test_vectorized_state():
+    # One parameter set filtering a [468, 3] landmark batch at once.
+    f = Ema(0.5)
+    state = f.init_state((4, 3))
+    x0 = np.ones((4, 3), np.float32)
+    state, out0 = f.apply(state, x0)
+    np.testing.assert_array_equal(out0, x0)
+    state, out1 = f.apply(state, 2 * x0)
+    np.testing.assert_allclose(out1, 1.5 * x0)
+
+
+def test_filters_traceable_under_jit():
+    import jax
+    import jax.numpy as jnp
+
+    f = OneEuroFilter(min_cutoff=1.0, beta=0.5)
+    state = {k: jnp.asarray(v) for k, v in f.init_state((3,)).items()}
+
+    @jax.jit
+    def step(state, v):
+        return f.apply(state, v, 1 / 30.0)
+
+    out = None
+    for v in (1.0, 2.0, 3.0):
+        state, out = step(state, jnp.full((3,), v))
+    assert out.shape == (3,)
+    assert bool(jnp.all(out > 1.0)) and bool(jnp.all(out < 3.0))
+
+
+def test_noop():
+    f = SimpleFilter(NoopFilter())
+    assert f.filter(42.0) == 42.0

@@ -1,0 +1,147 @@
+"""Independent ONNX executor on torch (CPU) used ONLY as a test oracle.
+
+This re-implements the bundled models' op dialect with torch.nn.functional so
+the JAX importer (zaru_tpu/onnx) can be cross-validated against a second,
+independently written lowering. It is not part of the framework.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from zaru_tpu.onnx.proto import OnnxModel
+
+
+def _t(x):
+    t = torch.from_numpy(np.asarray(x).copy()) if not isinstance(x, torch.Tensor) else x
+    return t.float() if t.dtype == torch.float16 else t
+
+
+def run_torch(model: OnnxModel, inputs: list[np.ndarray]) -> list[np.ndarray]:
+    g = model.graph
+    env: dict[str, torch.Tensor] = {k: _t(v) for k, v in g.initializers.items()}
+    init_names = set(g.initializers)
+    graph_inputs = [vi for vi in g.inputs if vi.name not in init_names]
+    for vi, x in zip(graph_inputs, inputs):
+        env[vi.name] = _t(x)
+
+    for node in g.nodes:
+        op = node.op_type
+        a = node.attrs
+        ins = [env[i] if i else None for i in node.inputs]
+
+        if op == "Conv":
+            x, w = ins[0], ins[1]
+            b = ins[2] if len(ins) > 2 else None
+            pads = a.get("pads", [0, 0, 0, 0])
+            # torch needs symmetric pads; pad manually when asymmetric.
+            pt, pl, pb, pr = pads[0], pads[1], pads[2], pads[3]
+            if pt == pb and pl == pr:
+                out = F.conv2d(
+                    x, w, b, stride=a.get("strides", [1, 1]),
+                    padding=(pt, pl), dilation=a.get("dilations", [1, 1]),
+                    groups=a.get("group", 1),
+                )
+            else:
+                x = F.pad(x, (pl, pr, pt, pb))
+                out = F.conv2d(
+                    x, w, b, stride=a.get("strides", [1, 1]),
+                    dilation=a.get("dilations", [1, 1]), groups=a.get("group", 1),
+                )
+        elif op == "Relu":
+            out = F.relu(ins[0])
+        elif op == "PRelu":
+            slope = ins[1]
+            out = torch.where(ins[0] < 0, slope * ins[0], ins[0])
+        elif op == "Sigmoid":
+            out = torch.sigmoid(ins[0])
+        elif op == "Clip":
+            lo = a.get("min")
+            hi = a.get("max")
+            if lo is None and len(ins) > 1 and ins[1] is not None:
+                lo = float(ins[1])
+            if hi is None and len(ins) > 2 and ins[2] is not None:
+                hi = float(ins[2])
+            out = torch.clamp(ins[0], lo, hi)
+        elif op == "Add":
+            out = ins[0] + ins[1]
+        elif op == "Mul":
+            out = ins[0] * ins[1]
+        elif op == "Sub":
+            out = ins[0] - ins[1]
+        elif op == "Div":
+            out = ins[0] / ins[1]
+        elif op == "Pad":
+            pads = a.get("pads")
+            if pads is None:
+                pads = ins[1].numpy().tolist()
+            rank = ins[0].dim()
+            # torch pad order: last dim first (l, r, then prev dim ...).
+            tpads = []
+            for d in reversed(range(rank)):
+                tpads += [int(pads[d]), int(pads[d + rank])]
+            out = F.pad(ins[0], tpads, value=float(a.get("value", 0.0)))
+        elif op == "MaxPool":
+            out = F.max_pool2d(
+                ins[0], a["kernel_shape"], stride=a.get("strides"),
+                padding=[p for p in a.get("pads", [0, 0, 0, 0])[:2]],
+                ceil_mode=bool(a.get("ceil_mode", 0)),
+            )
+        elif op == "AveragePool":
+            out = F.avg_pool2d(
+                ins[0], a["kernel_shape"], stride=a.get("strides"),
+                padding=[p for p in a.get("pads", [0, 0, 0, 0])[:2]],
+                ceil_mode=bool(a.get("ceil_mode", 0)),
+                count_include_pad=bool(a.get("count_include_pad", 0)),
+            )
+        elif op == "GlobalAveragePool":
+            out = ins[0].mean(dim=(2, 3), keepdim=True)
+        elif op == "ReduceMean":
+            axes = a.get("axes")
+            out = ins[0].mean(dim=tuple(axes), keepdim=bool(a.get("keepdims", 1)))
+        elif op == "Resize":
+            sizes = ins[3].numpy().tolist() if len(ins) > 3 and ins[3] is not None and ins[3].numel() else None
+            mode = a.get("mode", "nearest")
+            if isinstance(mode, bytes):
+                mode = mode.decode()
+            if mode == "linear":
+                out = F.interpolate(
+                    ins[0], size=[int(s) for s in sizes[2:]], mode="bilinear",
+                    align_corners=False,
+                )
+            else:
+                out = F.interpolate(ins[0], size=[int(s) for s in sizes[2:]], mode="nearest")
+        elif op == "Reshape":
+            shape = [int(s) for s in ins[1].numpy().tolist()]
+            shape = [ins[0].shape[i] if s == 0 else s for i, s in enumerate(shape)]
+            out = ins[0].reshape(shape)
+        elif op == "Transpose":
+            out = ins[0].permute(a["perm"])
+        elif op == "Concat":
+            out = torch.cat([i for i in ins], dim=a["axis"])
+        elif op == "Squeeze":
+            axes = a.get("axes")
+            out = ins[0]
+            for ax in sorted(axes, reverse=True):
+                out = out.squeeze(ax)
+        elif op == "Gemm":
+            x, w = ins[0], ins[1]
+            if a.get("transA", 0):
+                x = x.t()
+            if a.get("transB", 0):
+                w = w.t()
+            out = a.get("alpha", 1.0) * (x @ w)
+            if len(ins) > 2 and ins[2] is not None:
+                out = out + a.get("beta", 1.0) * ins[2]
+        elif op == "Constant":
+            out = _t(a["value"])
+        else:
+            raise NotImplementedError(f"torch oracle: op {op}")
+
+        outs = out if isinstance(out, list) else [out]
+        for name, val in zip(node.outputs, outs):
+            env[name] = val
+
+    return [env[vi.name].numpy() for vi in g.outputs]

@@ -1,0 +1,47 @@
+"""Small numeric utilities.
+
+TPU-native counterpart of the reference's numeric helpers
+(reference: crates/zaru/src/num.rs, crates/zaru/src/slice.rs,
+crates/zaru/src/iter.rs). All functions here are dtype-preserving and work on
+both NumPy arrays (host path) and JAX arrays (traced/jitted path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _xp(x):
+    """Return the array namespace (numpy or jax.numpy) for ``x``."""
+    if isinstance(x, np.ndarray) or np.isscalar(x) or isinstance(x, (float, int)):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def sigmoid(x):
+    """Logistic sigmoid (reference: crates/zaru/src/num.rs ``sigmoid``)."""
+    xp = _xp(x)
+    return 1.0 / (1.0 + xp.exp(-x))
+
+
+def round_half_away(x):
+    """Round half away from zero — the semantics of Rust's ``f32::round``.
+
+    ``jnp.round``/``np.round`` round half to even, which would break bit-level
+    parity with the reference's pixel-coordinate rounding
+    (reference: crates/zaru/src/nn/mod.rs:54-58, image/mod.rs:224-238).
+    """
+    xp = _xp(x)
+    return xp.sign(x) * xp.floor(xp.abs(x) + 0.5)
+
+
+def total_f32_key(x: float) -> float:
+    """Sort key mimicking the reference's ``TotalF32`` total ordering
+    (reference: crates/zaru-image/src/num.rs:7). NaN sorts above +inf."""
+    import math
+
+    if math.isnan(x):
+        return math.inf, 1
+    return x, 0

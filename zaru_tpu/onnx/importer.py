@@ -1,0 +1,201 @@
+"""ONNX → JAX graph importer.
+
+Replaces the reference's `Loader`/`NeuralNetwork` stack
+(crates/zaru/src/nn/mod.rs:206-538) with a compile-time import: the ONNX
+graph is converted once into a pure ``apply(params, *inputs)`` function whose
+body traces to a single XLA program. There is no runtime ONNX dependency and
+no per-node interpreter overhead after `jax.jit` compilation.
+
+Weights become a flat ``{name: array}`` pytree — usable directly with optax
+for fine-tuning, and shardable with jax.sharding for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ops import OPS
+from .proto import OnnxModel, ValueInfo, parse_model
+
+log = logging.getLogger(__name__)
+
+__all__ = ["ImportedModel", "import_model", "load_model"]
+
+
+def _is_staticval(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic))
+
+
+@dataclass
+class ImportedModel:
+    """A pure-functional JAX model imported from ONNX.
+
+    - ``params``: float weights (trainable pytree).
+    - ``apply(params, *inputs)``: returns the list of graph outputs.
+    - ``input_info`` / ``output_info``: name/shape/dtype of graph I/O.
+    """
+
+    name: str
+    params: dict[str, jnp.ndarray]
+    apply: Callable
+    input_info: list[ValueInfo]
+    output_info: list[ValueInfo]
+    opset: int
+
+    @property
+    def num_inputs(self) -> int:
+        return len(self.input_info)
+
+    @property
+    def num_outputs(self) -> int:
+        return len(self.output_info)
+
+    def __call__(self, *inputs):
+        return self.apply(self.params, *inputs)
+
+    def jit(self):
+        """Returns a jitted ``f(*inputs)`` closure over the current params."""
+        apply = jax.jit(self.apply)
+        params = self.params
+        return lambda *inputs: apply(params, *inputs)
+
+
+def import_model(
+    model: OnnxModel,
+    *,
+    output_subset: Sequence[str] | None = None,
+    compute_dtype=None,
+) -> ImportedModel:
+    """Builds an :class:`ImportedModel` from a parsed :class:`OnnxModel`.
+
+    ``output_subset`` mirrors the reference Loader's output selection
+    (nn/mod.rs:286-300): restrict the graph outputs (by name) so XLA can
+    dead-code-eliminate unused branches (the reference uses this to disable
+    the body-pose segmentation/heatmap heads).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the network body in a
+    lower precision with f32 MXU accumulation; inputs/outputs stay f32.
+    """
+    g = model.graph
+
+    # Split initializers: float arrays are weights (trainable pytree);
+    # everything else (int64 shape vectors, pad amounts, ...) is structural
+    # and stays baked into the traced graph as static numpy.
+    params: dict[str, np.ndarray] = {}
+    static_init: dict[str, np.ndarray] = {}
+    for name, arr in g.initializers.items():
+        if arr.dtype in (np.float32, np.float16, np.float64):
+            # Normalize all float weights to f32 (some exporters store fp16;
+            # TPU compute precision is then controlled via compute_dtype).
+            params[name] = np.ascontiguousarray(arr, dtype=np.float32)
+        else:
+            static_init[name] = arr
+
+    init_names = set(g.initializers)
+    input_info = [vi for vi in g.inputs if vi.name not in init_names]
+    if output_subset is not None:
+        wanted = list(output_subset)
+        by_name = {vi.name: vi for vi in g.outputs}
+        unknown = [n for n in wanted if n not in by_name]
+        if unknown:
+            raise ValueError(f"unknown outputs {unknown}; have {list(by_name)}")
+        output_info = [by_name[n] for n in wanted]
+    else:
+        output_info = list(g.outputs)
+    output_names = [vi.name for vi in output_info]
+
+    nodes = g.nodes
+    unsupported = sorted({n.op_type for n in nodes} - set(OPS))
+    if unsupported:
+        raise NotImplementedError(
+            f"model {g.name!r} uses unsupported ONNX ops: {unsupported}"
+        )
+
+    def apply(p: dict[str, Any], *inputs):
+        if len(inputs) != len(input_info):
+            raise ValueError(
+                f"expected {len(input_info)} inputs, got {len(inputs)}"
+            )
+        env: dict[str, Any] = {}
+        static_env: dict[str, np.ndarray] = dict(static_init)
+        if compute_dtype is not None:
+            env.update({k: jnp.asarray(v, compute_dtype) for k, v in p.items()})
+        else:
+            env.update(p)
+        env.update(static_env)
+        for vi, x in zip(input_info, inputs):
+            env[vi.name] = x.astype(compute_dtype) if compute_dtype is not None else x
+
+        needed = _liveness(nodes, output_names)
+        for node in nodes:
+            if node.outputs and not any(o in needed for o in node.outputs):
+                continue
+            vals = [env[i] if i else None for i in node.inputs]
+            statics = [static_env.get(i) if i else None for i in node.inputs]
+            try:
+                result = OPS[node.op_type](node, vals, statics)
+            except Exception as e:
+                raise type(e)(
+                    f"while lowering {node.op_type} node {node.name!r}: {e}"
+                ) from e
+            results = result if isinstance(result, list) else [result]
+            for out_name, val in zip(node.outputs, results):
+                env[out_name] = val
+                if _is_staticval(val):
+                    static_env[out_name] = np.asarray(val)
+
+        outs = [env[n] for n in output_names]
+        if compute_dtype is not None:
+            outs = [
+                o.astype(jnp.float32)
+                if hasattr(o, "dtype") and o.dtype == compute_dtype
+                else o
+                for o in outs
+            ]
+        return outs
+
+    return ImportedModel(
+        name=g.name,
+        params=params,
+        apply=apply,
+        input_info=input_info,
+        output_info=output_info,
+        opset=model.opset,
+    )
+
+
+def _liveness(nodes, output_names) -> set[str]:
+    """Names whose values are needed to compute ``output_names`` (supports
+    output-subset DCE before tracing; XLA would also eliminate them, but
+    skipping nodes avoids tracing unsupported dead branches)."""
+    needed = set(output_names)
+    for node in reversed(nodes):
+        if any(o in needed for o in node.outputs):
+            needed.update(i for i in node.inputs if i)
+    return needed
+
+
+def load_model(
+    path_or_bytes,
+    *,
+    output_subset: Sequence[str] | None = None,
+    compute_dtype=None,
+) -> ImportedModel:
+    """Parses and imports an ONNX model from a path or raw bytes."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    model = parse_model(data)
+    return import_model(
+        model, output_subset=output_subset, compute_dtype=compute_dtype
+    )
