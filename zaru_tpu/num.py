@@ -21,9 +21,12 @@ def _xp(x):
 
 
 def sigmoid(x):
-    """Logistic sigmoid (reference: crates/zaru/src/num.rs ``sigmoid``)."""
+    """Numerically stable logistic sigmoid
+    (reference: crates/zaru/src/num.rs ``sigmoid``)."""
     xp = _xp(x)
-    return 1.0 / (1.0 + xp.exp(-x))
+    pos = xp.where(x >= 0, x, 0.0)
+    neg = xp.where(x < 0, x, 0.0)
+    return xp.where(x >= 0, 1.0 / (1.0 + xp.exp(-pos)), xp.exp(neg) / (1.0 + xp.exp(neg)))
 
 
 def round_half_away(x):
