@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from zaru_tpu.parallel import stream_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return stream_mesh(jax.devices()[:8])
+
+
+def test_sharded_face_tracker(mesh, sad_linus_full):
+    from zaru_tpu.parallel import ShardedFaceTracker
+    from zaru_tpu.pipeline import FaceTracker
+
+    tracker = FaceTracker()
+    sharded = ShardedFaceTracker(tracker, mesh)
+    batch = 8
+    state = sharded.init_state(batch)
+    frames = sharded.shard_frames(jnp.stack([sad_linus_full.data] * batch))
+    state, out = sharded.step(state, frames)
+    assert out["landmarks"].shape == (batch, 468, 3)
+    assert bool(np.asarray(out["valid"]).all())
+    # Results identical to the unsharded batched tracker.
+    ref_state = tracker.init_state(batch=batch)
+    _, ref_out = tracker.run_frames(ref_state, jnp.stack([sad_linus_full.data] * batch))
+    np.testing.assert_allclose(
+        np.asarray(out["landmarks"]), np.asarray(ref_out["landmarks"]), atol=1e-3
+    )
+
+
+def test_uneven_batch_rejected(mesh):
+    from zaru_tpu.parallel import ShardedFaceTracker
+    from zaru_tpu.pipeline import FaceTracker
+
+    sharded = ShardedFaceTracker(FaceTracker(), mesh)
+    with pytest.raises(AssertionError, match="divide evenly"):
+        sharded.init_state(9)
+
+
+def test_data_parallel_training(mesh):
+    from zaru_tpu.assets import model_path
+    from zaru_tpu.onnx import load_model
+    from zaru_tpu.train import make_data_parallel_train_step
+
+    model = load_model(model_path("slim_160_latest.onnx"))
+    step, params, opt_state, shard_batch = make_data_parallel_train_step(model, mesh)
+    rng = np.random.default_rng(0)
+    x = shard_batch(rng.uniform(-1, 1, size=(8, 3, 160, 160)).astype(np.float32))
+    y = shard_batch(rng.uniform(0, 1, size=(8, 143)).astype(np.float32))
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
+
+
+def test_single_process_trainer():
+    from zaru_tpu.assets import model_path
+    from zaru_tpu.onnx import load_model
+    from zaru_tpu.train import Trainer
+
+    model = load_model(model_path("landmarks_68_pfld.onnx"))
+    trainer = Trainer(model)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, size=(1, 3, 112, 112)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(1, 136)).astype(np.float32)
+    l0 = trainer.train_step(x, y)
+    for _ in range(4):
+        l = trainer.train_step(x, y)
+    assert l < l0
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.block_until_ready(jax.jit(fn)(*args))
+    state, outputs = out
+    assert outputs["landmarks"].shape == (468, 3)

@@ -268,6 +268,8 @@ def _pool_output(x, kernel, strides, pad_pairs, ceil_mode, reducer, init, count_
     strides4 = (1, 1, sh, sw)
     pads4 = ((0, 0), (0, 0), (pt, pb), (pl, pr))
 
+    # NOTE: init must be a Python scalar so JAX recognizes the add/max monoid
+    # (differentiable reduce_window_sum/max lowering).
     out = lax.reduce_window(x, init, reducer, window, strides4, pads4)
     if count_include_pad is None:
         return out
@@ -275,7 +277,7 @@ def _pool_output(x, kernel, strides, pad_pairs, ceil_mode, reducer, init, count_
         return out / (kh * kw)
     ones = jnp.ones((1, 1, x.shape[2], x.shape[3]), x.dtype)
     counts = lax.reduce_window(ones, 0.0, lax.add, window, strides4, pads4)
-    return out / counts
+    return lax.stop_gradient(1.0 / counts) * out
 
 
 @register("MaxPool")
@@ -285,8 +287,7 @@ def _max_pool(node, vals, statics):
     strides = node.attrs.get("strides", [1, 1])
     _, pad_pairs = _conv_pads(node, 2)
     ceil_mode = node.attrs.get("ceil_mode", 0)
-    neg_inf = jnp.array(-jnp.inf, x.dtype)
-    return _pool_output(x, kernel, strides, pad_pairs, ceil_mode, lax.max, neg_inf)
+    return _pool_output(x, kernel, strides, pad_pairs, ceil_mode, lax.max, -jnp.inf)
 
 
 @register("AveragePool")
@@ -298,7 +299,7 @@ def _avg_pool(node, vals, statics):
     ceil_mode = node.attrs.get("ceil_mode", 0)
     cip = node.attrs.get("count_include_pad", 0)
     return _pool_output(
-        x, kernel, strides, pad_pairs, ceil_mode, lax.add, jnp.array(0.0, x.dtype), bool(cip)
+        x, kernel, strides, pad_pairs, ceil_mode, lax.add, 0.0, bool(cip)
     )
 
 

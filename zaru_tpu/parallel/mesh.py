@@ -1,0 +1,75 @@
+"""Stream-sharded serving over a device mesh."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipeline.face_cascade import FaceTracker
+
+__all__ = ["stream_mesh", "ShardedFaceTracker"]
+
+
+def stream_mesh(devices=None, axis: str = "stream") -> Mesh:
+    """A 1-D mesh over all (or the given) devices; streams shard over it."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis,))
+
+
+class ShardedFaceTracker:
+    """The fused face cascade, batched over streams and sharded over chips.
+
+    Per-stream state and frames live sharded on the ``stream`` axis; model
+    params are replicated. The serving path needs NO collectives — each chip
+    runs its shard of streams independently over ICI-free compute, which is
+    the optimal layout for an embarrassingly parallel fleet.
+    """
+
+    def __init__(self, tracker: FaceTracker, mesh: Mesh, axis: str = "stream"):
+        self.tracker = tracker
+        self.mesh = mesh
+        self.axis = axis
+
+        replicated = NamedSharding(mesh, P())
+        self._stream0 = NamedSharding(mesh, P(axis))
+
+        self.params = jax.device_put(tracker.params, replicated)
+
+        batched = jax.vmap(tracker.step, in_axes=(None, 0, 0))
+        # shard_map (manual SPMD) rather than GSPMD jit-with-shardings: the
+        # serving path has no cross-stream communication, and XLA's automatic
+        # partitioner mis-rewrites batched *grouped* convolutions (BlazeFace
+        # depthwise blocks) when their batch dim is sharded. With shard_map
+        # each chip simply runs its local slice of streams.
+        sharded = jax.shard_map(
+            batched,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            # Replicated params multiply stream-varying activations; the
+            # varying-manual-axes checker can't express that yet.
+            check_vma=False,
+        )
+        self._step = jax.jit(sharded)
+
+    def _shard_tree_spec(self):
+        # State/output pytrees all carry the stream axis first.
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def init_state(self, batch: int):
+        assert batch % self.mesh.size == 0, (
+            f"stream count {batch} must divide evenly over {self.mesh.size} devices"
+        )
+        state = self.tracker.init_state(batch=batch)
+        return jax.device_put(state, self._shard_tree_spec())
+
+    def shard_frames(self, frames):
+        return jax.device_put(jnp.asarray(frames), self._stream0)
+
+    def step(self, state, frames):
+        """One sharded step: ``frames [B, H, W, 4]`` with B divisible by the
+        mesh size."""
+        return self._step(self.params, state, frames)

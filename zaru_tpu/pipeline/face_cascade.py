@@ -1,0 +1,253 @@
+"""Fused face detect→ROI→landmark→smooth cascade.
+
+This is the TPU-native reformulation of the reference's per-frame drive loop
+(examples/facemesh.rs:33-60 + landmark.rs:463-501): one jitted, fixed-shape
+step function per frame. Everything — BlazeFace, ROI seeding, rotated-crop
+sampling, Face Mesh, 1€ smoothing, ROI update — runs on device; the host
+only supplies frames and reads back landmarks.
+
+Control flow: `lax.cond(tracking, track, detect_and_track)`. Detection
+re-seeds in the *same* frame (one better than the reference's one-frame
+pipeline latency). Under `vmap` (multi-stream batching) both branches
+execute masked per XLA semantics; the detector is small relative to the
+landmarker, so the steady-state cost stays close to landmark-only.
+
+State is a pytree of arrays, so the tracker vmaps over a stream axis and
+shards over a device mesh unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..detection.nms import nms_average_device
+from ..face.detection import ShortRangeNetwork
+from ..face.landmark.mediapipe import FaceMeshV1, LandmarkIdx
+from ..filters import OneEuroFilter
+from ..geometry import (
+    rect_grow_to_fit_aspect,
+    rect_grow_rel,
+    rrect_bounding,
+    rrect_transform_out,
+    signed_angle_to_x,
+)
+
+__all__ = ["FaceTracker", "FaceTrackerState"]
+
+FaceTrackerState = dict  # pytree: roi [5], tracking [], filter state
+
+
+def _grow_rel_rrect(rrect, amount):
+    grown = rect_grow_rel(rrect[..., 0:4], amount)
+    return jnp.concatenate([grown, rrect[..., 4:5]], axis=-1)
+
+
+def _grow_to_fit_aspect_rrect(rrect, aspect):
+    grown = rect_grow_to_fit_aspect(rrect[..., 0:4], aspect)
+    return jnp.concatenate([grown, rrect[..., 4:5]], axis=-1)
+
+
+class FaceTracker:
+    """Single-jit face tracking cascade.
+
+    Parameters mirror the host classes: detection threshold
+    (detection.rs:167), tracking loss threshold and ROI padding
+    (landmark.rs:370-372), optional 1€ landmark smoothing applied in
+    network coordinates like the reference (landmark.rs:292-308).
+    """
+
+    def __init__(
+        self,
+        detector: ShortRangeNetwork | None = None,
+        landmarker: FaceMeshV1 | None = None,
+        *,
+        detection_threshold: float = 0.5,
+        loss_threshold: float = 0.5,
+        roi_padding: float = 0.3,
+        smooth: OneEuroFilter | None = OneEuroFilter(min_cutoff=1.0, beta=0.5),
+        frame_rate: float = 30.0,
+    ):
+        self.detector = detector or ShortRangeNetwork()
+        self.landmarker = landmarker or FaceMeshV1()
+        self.det_cnn = self.detector.cnn()
+        self.lm_cnn = self.landmarker.cnn()
+        self.detection_threshold = detection_threshold
+        self.loss_threshold = loss_threshold
+        self.roi_padding = roi_padding
+        self.smooth = smooth
+        self.elapsed = 1.0 / frame_rate
+        self.num_landmarks = 468
+
+        self.params = {
+            "det": self.det_cnn.params,
+            "lm": self.lm_cnn.params,
+        }
+        self._step = jax.jit(self.step)
+        self._step_batch = jax.jit(jax.vmap(self.step, in_axes=(None, 0, 0)))
+
+    # --- state ---------------------------------------------------------------
+
+    def init_state(self, batch: int | None = None) -> FaceTrackerState:
+        """Fresh (not-tracking) state; pass ``batch`` for a stream axis."""
+
+        def bcast(x):
+            x = jnp.asarray(x)
+            return jnp.broadcast_to(x, (batch,) + x.shape) if batch else x
+
+        filt = (
+            {
+                k: bcast(v)
+                for k, v in self.smooth.init_state((self.num_landmarks, 3)).items()
+            }
+            if self.smooth
+            else {}
+        )
+        return {
+            "roi": bcast(jnp.zeros(5, jnp.float32)),
+            "tracking": bcast(jnp.asarray(False)),
+            "filter": filt,
+        }
+
+    # --- traced step ----------------------------------------------------------
+
+    def _detect_roi(self, params, frame):
+        """BlazeFace → best (weighted-averaged) detection → seed ROI.
+
+        Mirrors Detector::detect_impl (detection.rs:216-270) + the example's
+        `tracker.set_roi(detection.bounding_rect())` (facemesh.rs:50-54).
+        Returns (roi [5], found bool).
+        """
+        h, w = frame.shape[0], frame.shape[1]
+        res = self.det_cnn.input_resolution()
+        aspect = np.float32(res.width) / np.float32(res.height)
+        fit = rect_grow_to_fit_aspect(
+            jnp.asarray([w / 2.0, h / 2.0, float(w), float(h)], jnp.float32), aspect
+        )
+        fit_rrect = jnp.concatenate([fit, jnp.zeros(1, jnp.float32)])
+
+        outputs = self.det_cnn.apply_on_view(params["det"], frame, fit_rrect)
+        boxes, conf, kps, angles = self.detector.decode_device(
+            outputs, self.detection_threshold
+        )
+        valid, seed_conf, avg_box, avg_kp, avg_angle = nms_average_device(
+            boxes, conf, kps, angles, max_out=1
+        )
+        found = valid[0]
+        box = avg_box[0]
+
+        # Un-map network coords → image coords (detection.rs:245-267).
+        scale = fit[2] / np.float32(res.width)
+        top_left = fit[0:2] - fit[2:4] * 0.5
+        center = box[0:2] * scale + top_left
+        size = box[2:4] * scale
+        roi = jnp.concatenate([center, size, jnp.zeros(1, jnp.float32)])
+        return roi, found
+
+    def _track(self, params, state, frame, roi, seeded):
+        """One landmark-tracking step (landmark.rs:463-501), traced."""
+        res = self.lm_cnn.input_resolution()
+        aspect = np.float32(res.width) / np.float32(res.height)
+        view_rect = _grow_to_fit_aspect_rrect(roi, aspect)
+
+        outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
+        coords, conf = self.landmarker.decode_device(outputs)
+
+        # Smooth in network coordinates (landmark.rs:292-308). Freshly
+        # seeded trackers reset the filter state.
+        if self.smooth:
+            fstate = state["filter"]
+            fstate = jax.tree_util.tree_map(
+                lambda s: jnp.where(
+                    jnp.reshape(seeded, (1,) * s.ndim), jnp.zeros_like(s), s
+                ),
+                fstate,
+            )
+            fstate, coords = self.smooth.apply(fstate, coords, self.elapsed)
+        else:
+            fstate = state["filter"]
+
+        # view → image coordinates.
+        scale = view_rect[2] / np.float32(res.width)
+        xy_view = coords[:, 0:2] * scale
+        z = coords[:, 2:3] * scale
+
+        # Face rotation from outer eye corners, measured in VIEW coordinates
+        # (the estimate's residual rotation relative to the rotated ROI),
+        # then added to the ROI rotation — exactly like the host tracker
+        # (landmark.rs:479 + mediapipe.rs:146-160).
+        ltr = (
+            xy_view[LandmarkIdx.RIGHT_EYE_OUTER_CORNER]
+            - xy_view[LandmarkIdx.LEFT_EYE_OUTER_CORNER]
+        )
+        angle = roi[4] + signed_angle_to_x(ltr)
+
+        xy = rrect_transform_out(view_rect, xy_view)
+        pos = jnp.concatenate([xy, z], axis=-1)
+
+        new_roi = _grow_rel_rrect(rrect_bounding(angle, xy), self.roi_padding)
+        tracking = conf >= self.loss_threshold
+
+        new_state = {"roi": new_roi, "tracking": tracking, "filter": fstate}
+        out = {
+            "landmarks": pos,
+            "confidence": conf,
+            "roi": new_roi,
+            "valid": tracking,
+        }
+        return new_state, out
+
+    def step(self, params, state: FaceTrackerState, frame):
+        """One frame: returns ``(new_state, outputs)``.
+
+        ``frame``: ``[H, W, 4] uint8`` in HBM. Outputs: landmarks
+        ``[468, 3]`` in image coords, confidence, roi, valid flag.
+        """
+
+        def when_tracking(_):
+            return self._track(params, state, frame, state["roi"], jnp.asarray(False))
+
+        def when_lost(_):
+            roi, found = self._detect_roi(params, frame)
+            new_state, out = self._track(params, state, frame, roi, jnp.asarray(True))
+            # If detection found nothing, stay lost and mark output invalid.
+            new_state = dict(
+                new_state,
+                tracking=new_state["tracking"] & found,
+            )
+            out = dict(out, valid=out["valid"] & found)
+            return new_state, out
+
+        return lax.cond(state["tracking"], when_tracking, when_lost, None)
+
+    # --- convenience host API -------------------------------------------------
+
+    def run_frame(self, state, frame):
+        """Jitted single-stream step."""
+        return self._step(self.params, state, frame)
+
+    def run_frames(self, state, frames):
+        """Jitted batched step: ``frames [B, H, W, 4]``, state with leading
+        stream axis (from ``init_state(batch=B)``)."""
+        return self._step_batch(self.params, state, frames)
+
+    def scan_video(self, state, frames):
+        """Processes ``frames [T, H, W, 4]`` in one compiled lax.scan —
+        useful for offline video and for benchmarking steady-state cost."""
+
+        @jax.jit
+        def run(params, state, frames):
+            def body(st, frame):
+                st, out = self.step(params, st, frame)
+                return st, out
+
+            return lax.scan(body, state, frames)
+
+        return run(self.params, state, frames)
