@@ -112,6 +112,12 @@ class Loader:
         self._output_subset = list(names)
         return self
 
+    def with_output_selection_by_index(self, indices: Sequence[int]) -> "Loader":
+        """Select outputs by position (reference nn/mod.rs:286-300 takes
+        indices)."""
+        self._output_subset = [int(i) for i in indices]
+        return self
+
     def with_bf16(self) -> "Loader":
         """Runs the network body in bfloat16 (reference's f16 conversion
         flag, nn/mod.rs:282-284, mapped to the TPU-native dtype)."""

@@ -102,12 +102,16 @@ def import_model(
     init_names = set(g.initializers)
     input_info = [vi for vi in g.inputs if vi.name not in init_names]
     if output_subset is not None:
-        wanted = list(output_subset)
         by_name = {vi.name: vi for vi in g.outputs}
-        unknown = [n for n in wanted if n not in by_name]
-        if unknown:
-            raise ValueError(f"unknown outputs {unknown}; have {list(by_name)}")
-        output_info = [by_name[n] for n in wanted]
+
+        def resolve(sel):
+            if isinstance(sel, int):
+                return g.outputs[sel]
+            if sel not in by_name:
+                raise ValueError(f"unknown output {sel!r}; have {list(by_name)}")
+            return by_name[sel]
+
+        output_info = [resolve(s) for s in output_subset]
     else:
         output_info = list(g.outputs)
     output_names = [vi.name for vi in output_info]
