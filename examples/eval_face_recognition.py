@@ -1,0 +1,70 @@
+"""Face recognition evaluation (reference: examples/eval_face_recognition.rs).
+
+Usage: python eval_face_recognition.py <dir-with-person-subdirs>
+Each subdirectory holds images of one person; prints intra- vs inter-person
+embedding distances and a simple verification accuracy at the best
+threshold.
+"""
+
+import itertools
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from _common import frame_source  # noqa: F401  (path setup)
+
+from zaru_tpu import gui
+from zaru_tpu.detection import Detector
+from zaru_tpu.face.detection import ShortRangeNetwork
+from zaru_tpu.face.recognition import Embedder, embedding_distance
+from zaru_tpu.image import Image
+
+
+def main():
+    if len(sys.argv) < 2:
+        print("usage: eval_face_recognition.py <dir>")
+        return 2
+    root = Path(sys.argv[1])
+    detector = Detector(ShortRangeNetwork())
+    embedder = Embedder()
+
+    embeddings: dict[str, list[np.ndarray]] = {}
+    for person_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+        for img_path in sorted(person_dir.iterdir()):
+            image = Image.load(img_path)
+            dets = list(detector.detect(image))
+            if not dets:
+                print(f"skip {img_path}: no face")
+                continue
+            det = max(dets, key=lambda d: d.confidence())
+            crop = det.bounding_rect().grow_rel(0.2)
+            emb = embedder.embed(image.view(crop))
+            embeddings.setdefault(person_dir.name, []).append(emb)
+
+    intra, inter = [], []
+    people = list(embeddings)
+    for person, embs in embeddings.items():
+        for a, b in itertools.combinations(embs, 2):
+            intra.append(embedding_distance(a, b))
+    for pa, pb in itertools.combinations(people, 2):
+        for a in embeddings[pa]:
+            for b in embeddings[pb]:
+                inter.append(embedding_distance(a, b))
+
+    print(f"intra-person distance: mean {np.mean(intra):.3f}" if intra else "no intra pairs")
+    print(f"inter-person distance: mean {np.mean(inter):.3f}" if inter else "no inter pairs")
+    if intra and inter:
+        thresholds = np.linspace(0, max(inter), 200)
+        best = max(
+            thresholds,
+            key=lambda t: (np.array(intra) < t).mean() + (np.array(inter) >= t).mean(),
+        )
+        acc = ((np.array(intra) < best).sum() + (np.array(inter) >= best).sum()) / (
+            len(intra) + len(inter)
+        )
+        print(f"best threshold {best:.3f}: accuracy {acc:.3f}")
+
+
+if __name__ == "__main__":
+    gui.run(main)
