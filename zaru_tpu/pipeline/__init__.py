@@ -8,5 +8,6 @@ on the leading axis (vmap) / shards them across chips (parallel.mesh).
 """
 
 from .face_cascade import FaceTracker, FaceTrackerState
+from .hand_cascade import MultiHandTracker
 
-__all__ = ["FaceTracker", "FaceTrackerState"]
+__all__ = ["FaceTracker", "FaceTrackerState", "MultiHandTracker"]
