@@ -144,18 +144,20 @@ class LandmarkResultV2(_ResultBase):
 
 
 @lru_cache(maxsize=None)
-def _cnn_v1() -> Cnn:
+def _cnn_v1(compute_dtype=None) -> Cnn:
     return Cnn(
-        NeuralNetwork.load(model_path("face_landmark.onnx")),
+        NeuralNetwork.load(model_path("face_landmark.onnx"), compute_dtype=compute_dtype),
         CnnInputShape.NCHW,
         ColorMapper.linear(-1.0, 1.0),
     )
 
 
 @lru_cache(maxsize=None)
-def _cnn_v2() -> Cnn:
+def _cnn_v2(compute_dtype=None) -> Cnn:
     return Cnn(
-        NeuralNetwork.load(model_path("face_landmarks_detector.onnx")),
+        NeuralNetwork.load(
+            model_path("face_landmarks_detector.onnx"), compute_dtype=compute_dtype
+        ),
         CnnInputShape.NCHW,
         ColorMapper.linear(-1.0, 1.0),
     )
@@ -166,8 +168,11 @@ class FaceMeshV1(LandmarkNetwork):
     (mediapipe.rs:41-72). Input must be an upright face crop; use
     LandmarkTracker for rotation following."""
 
+    def __init__(self, compute_dtype=None):
+        self._compute_dtype = compute_dtype
+
     def cnn(self) -> Cnn:
-        return _cnn_v1()
+        return _cnn_v1(self._compute_dtype)
 
     def init_estimate(self) -> LandmarkResultV1:
         return LandmarkResultV1()
@@ -190,8 +195,11 @@ class FaceMeshV2(LandmarkNetwork):
     """Face Mesh v2 (256×256 → 478×3, face flag, tongueOut)
     (mediapipe.rs:81-115)."""
 
+    def __init__(self, compute_dtype=None):
+        self._compute_dtype = compute_dtype
+
     def cnn(self) -> Cnn:
-        return _cnn_v2()
+        return _cnn_v2(self._compute_dtype)
 
     def init_estimate(self) -> LandmarkResultV2:
         return LandmarkResultV2()

@@ -74,9 +74,10 @@ class FaceTracker:
         roi_padding: float = 0.3,
         smooth: OneEuroFilter | None = OneEuroFilter(min_cutoff=1.0, beta=0.5),
         frame_rate: float = 30.0,
+        compute_dtype=None,
     ):
-        self.detector = detector or ShortRangeNetwork()
-        self.landmarker = landmarker or FaceMeshV1()
+        self.detector = detector or ShortRangeNetwork(compute_dtype=compute_dtype)
+        self.landmarker = landmarker or FaceMeshV1(compute_dtype=compute_dtype)
         self.det_cnn = self.detector.cnn()
         self.lm_cnn = self.landmarker.cnn()
         self.detection_threshold = detection_threshold
@@ -92,6 +93,7 @@ class FaceTracker:
         }
         self._step = jax.jit(self.step)
         self._step_batch = jax.jit(jax.vmap(self.step, in_axes=(None, 0, 0)))
+        self._step_batch_gated = jax.jit(self.step_batch)
 
     # --- state ---------------------------------------------------------------
 
@@ -227,6 +229,31 @@ class FaceTracker:
 
         return lax.cond(state["tracking"], when_tracking, when_lost, None)
 
+    def step_batch(self, params, state, frames):
+        """Batched step with a *batch-level* detection gate.
+
+        Under ``vmap``, per-stream ``lax.cond`` lowers to a select that
+        executes BOTH branches for every stream every frame. Here the
+        predicate is batch-scalar — "are all streams tracking?" — so XLA
+        executes only one branch at runtime: the steady state costs
+        landmark-only, and a detection pass (for every stream) runs only on
+        frames where some stream is lost. This trades a little redundant
+        detection (all streams redetect together) for skipping the detector
+        entirely in the common case.
+        """
+        all_tracking = jnp.all(state["tracking"])
+
+        def track_only(_):
+            def one(st, frame):
+                return self._track(params, st, frame, st["roi"], jnp.asarray(False))
+
+            return jax.vmap(one, in_axes=(0, 0))(state, frames)
+
+        def full(_):
+            return jax.vmap(self.step, in_axes=(None, 0, 0))(params, state, frames)
+
+        return lax.cond(all_tracking, track_only, full, None)
+
     # --- convenience host API -------------------------------------------------
 
     def run_frame(self, state, frame):
@@ -237,6 +264,11 @@ class FaceTracker:
         """Jitted batched step: ``frames [B, H, W, 4]``, state with leading
         stream axis (from ``init_state(batch=B)``)."""
         return self._step_batch(self.params, state, frames)
+
+    def run_frames_gated(self, state, frames):
+        """Batched step with the batch-level detection gate (see
+        :meth:`step_batch`) — the fastest steady-state serving path."""
+        return self._step_batch_gated(self.params, state, frames)
 
     def scan_video(self, state, frames):
         """Processes ``frames [T, H, W, 4]`` in one compiled lax.scan —
