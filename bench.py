@@ -71,7 +71,13 @@ def child_main(batch: int) -> None:
 
     tracker = FaceTracker()
     frame = make_1080p_frame()
-    frames = jax.device_put(jnp.asarray(np.stack([frame] * batch)))
+    # Upload ONE frame and tile on device: through this environment's
+    # tunnel, a [128,1080,1920,4] host upload alone takes minutes.
+    frame_dev = jax.device_put(jnp.asarray(frame))
+    frames = jax.jit(
+        lambda f: jnp.broadcast_to(f[None], (batch, *f.shape)) + 0
+    )(frame_dev)
+    jax.block_until_ready(frames)
     state = tracker.init_state(batch=batch)
 
     @jax.jit

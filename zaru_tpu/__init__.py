@@ -23,10 +23,24 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
-from . import assets, approx, color, filters, geometry, num, resolution, timer
+from . import (
+    approx,
+    assets,
+    color,
+    filters,
+    geometry,
+    num,
+    quat,
+    resolution,
+    timer,
+)
 from .color import Color
 from .geometry import Rect, RotatedRect
 from .resolution import AspectRatio, Resolution
+
+# Heavier subsystems (jax-importing) are regular submodules:
+#   zaru_tpu.{image, nn, onnx, detection, landmark, face, hand, body,
+#             pipeline, parallel, train, video, gui, procrustes, pnp}
 
 __all__ = [
     "Color",
@@ -34,12 +48,13 @@ __all__ = [
     "RotatedRect",
     "AspectRatio",
     "Resolution",
-    "assets",
     "approx",
+    "assets",
     "color",
     "filters",
     "geometry",
     "num",
+    "quat",
     "resolution",
     "timer",
 ]
