@@ -33,7 +33,7 @@ BASELINE_FPS = 2000.0
 BATCH_SMALL = int(os.environ.get("ZARU_BENCH_BATCH", "8"))
 BATCH_LARGE = int(os.environ.get("ZARU_BENCH_BATCH_LARGE", "128"))
 SCAN_STEPS = int(os.environ.get("ZARU_BENCH_SCAN", "16"))
-WINDOWS = int(os.environ.get("ZARU_BENCH_WINDOWS", "8"))
+WINDOWS = int(os.environ.get("ZARU_BENCH_WINDOWS", "6"))
 CHILD_TIMEOUT = int(os.environ.get("ZARU_BENCH_TIMEOUT", "420"))
 
 
@@ -110,15 +110,15 @@ def child_main(batch: int) -> None:
     fps_windows = measure_windows()
     log(f"[B={batch}] windows fps: " + " ".join(f"{f:.0f}" for f in fps_windows))
     if max(fps_windows) < 5000 and os.environ.get("ZARU_BENCH_RETRY", "1") == "1":
-        log(f"[B={batch}] all windows look throttled; cooling down 45s, retrying")
-        time.sleep(45)
+        log(f"[B={batch}] all windows look throttled; cooling down 30s, retrying")
+        time.sleep(30)
         retry = measure_windows()
         log(f"[B={batch}] retry windows fps: " + " ".join(f"{f:.0f}" for f in retry))
         fps_windows += retry
     fps = float(np.max(fps_windows))
 
     lats = []
-    for _ in range(20):
+    for _ in range(8):
         t0 = time.perf_counter()
         state, out = tracker.run_frames(state, frames)
         jax.block_until_ready(out["landmarks"])
