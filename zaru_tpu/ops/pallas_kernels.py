@@ -8,17 +8,19 @@ already fast); the Pallas versions exist for explicit control of the
 VMEM pipeline when preprocessing dominates, selected via
 ``use_pallas=True`` / ``ZARU_TPU_PALLAS=1``.
 
-Design notes (see /opt/skills/guides/pallas_guide.md):
-- A 1080p RGBA frame is ~8.3 MB — it does NOT fit VMEM comfortably next to
-  other buffers, so kernels stream *rows* of the source through VMEM with
-  the grid pipeline rather than loading whole frames.
-- Nearest-neighbor sampling per output row touches one source row when the
-  view is axis-aligned; the letterbox kernel exploits that: grid over
-  output rows, each step DMAs exactly the source row it needs (computed
-  via the BlockSpec index_map from the precomputed row mapping) and does a
-  VPU gather along the row.
+Design notes (see /opt/skills/guides/pallas_guide.md; all variants verified
+bit-exact against the XLA sampler, compiled on TPU v5e):
+- The letterbox sampler's geometry is fully static, so row selection is a
+  static XLA row-gather feeding the kernel, and the column gather runs on
+  the MXU as a static ONE-HOT MATMUL — v5e's `tpu.dynamic_gather` cannot
+  cross 128-lane tiles, which rules out direct VPU gathers, and u8 rows
+  cannot be loaded at dynamic sublane offsets. One-hot entries are exactly
+  1.0 and u8 values are bf16-exact, so the MXU pass loses no bits.
+- RGB↔YUV runs channel-planar so image width (not the 3-channel axis)
+  carries the 128-lane dimension.
 - The rotated general case keeps the XLA gather (data-dependent 2-D access
-  defeats row streaming); on current shapes it is not the bottleneck.
+  has no good Mosaic lowering on this generation); on current shapes
+  preprocessing is far from the bottleneck either way.
 """
 
 from __future__ import annotations
@@ -79,44 +81,47 @@ def letterbox_sample_pallas(
     adjust = np.float32((hi - lo) / 255.0)
     lo_f = np.float32(lo)
 
-    x_idx = jnp.asarray(xs_c)  # [out_w]
-    x_mask = jnp.asarray(x_valid)
-    y_mask = jnp.asarray(y_valid)
-    row_map = jnp.asarray(ys_c)  # [out_h] source row per output row
+    # All sampling geometry is static. Row selection happens OUTSIDE the
+    # kernel as a static XLA row-gather (only out_h of H rows ever move).
+    # The column gather runs on the MXU as a STATIC ONE-HOT MATMUL — the
+    # canonical TPU formulation of a static gather, because the VPU's
+    # tpu.dynamic_gather cannot cross 128-lane tiles. Exactness: the
+    # one-hot entries are exactly 1.0 and u8 values (0..255) are exactly
+    # representable even in bf16, so the MXU pass is bit-exact; the color
+    # map then runs in f32 on the VPU, matching the XLA sampler bitwise.
+    flat_rows = image_u8.reshape(H, W * 4)[jnp.asarray(ys_c)]  # [out_h, W*4]
+    base = xs_c * 4  # flat offset of each output column's pixel
+    onehot = np.zeros((W * 4, 3 * out_w), np.float32)
+    for c in range(3):
+        cols = np.arange(out_w)
+        keep = x_valid  # OOB columns stay all-zero → sample 0 (black)
+        onehot[base[keep] + c, c * out_w + cols[keep]] = 1.0
+    sel = jnp.asarray(onehot)
+    y_mask = jnp.asarray(y_valid.astype(np.float32).reshape(out_h, 1))
 
-    def kernel(row_map_ref, xidx_ref, xmask_ref, ymask_ref, src_row_ref, out_ref):
-        i = pl.program_id(0)
-        row = src_row_ref[0]  # [W, 4] uint8 — the needed source row
-        cols = xidx_ref[:]  # [out_w]
-        gathered = row[cols]  # [out_w, 4] VPU gather along the row
-        rgb = gathered[:, :3].astype(jnp.float32)
-        valid = (xmask_ref[:] & ymask_ref[i])[:, None]
-        rgb = jnp.where(valid, rgb, 0.0)
-        out_ref[0] = (rgb * adjust + lo_f).T  # [3, out_w]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # row_map, x_idx, x_mask, y_mask
-        grid=(out_h,),
-        in_specs=[
-            # One source row per grid step, chosen by the prefetched map.
-            pl.BlockSpec(
-                (1, W, 4),
-                lambda i, row_map, xidx, xmask, ymask: (row_map[i], 0, 0),
-                memory_space=pl.ANY,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, out_w), lambda i, *prefetch: (i, 0, 0), memory_space=pl.ANY
-        ),
-    )
+    def kernel(rows_ref, sel_ref, ymask_ref, out_ref):
+        # u8 → f32 via i32 (Mosaic has no direct u8→f32 cast).
+        rows = rows_ref[:].astype(jnp.int32).astype(jnp.float32)
+        picked = jnp.dot(
+            rows, sel_ref[:], preferred_element_type=jnp.float32
+        )  # [out_h, 3*out_w]
+        # OOB pixels read as black, whose color-mapped value is `lo`
+        # (nn/mod.rs:129-168): rgb·mask·adjust + lo covers both cases.
+        out_ref[:] = picked * ymask_ref[:] * adjust + lo_f
 
     out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_h, 3, out_w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rows [out_h, W*4]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel [W*4, 3*out_w]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # y mask [out_h, 1]
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_h, 3 * out_w), jnp.float32),
         interpret=interpret,
-    )(row_map, x_idx, x_mask, y_mask, image_u8)
-    return jnp.transpose(out, (1, 0, 2))[None]  # [1, 3, out_h, out_w]
+    )(flat_rows, sel, y_mask)
+    # [out_h, 3, out_w] → [1, 3, out_h, out_w]
+    return jnp.transpose(out.reshape(out_h, 3, out_w), (1, 0, 2))[None]
 
 
 # ---------------------------------------------------------------------------
@@ -149,30 +154,33 @@ def yuv_to_rgb(yuv):
 def rgb_to_yuv_pallas(rgb, *, interpret: bool = False, block_rows: int = 128):
     """RGB→YUV as a row-blocked Pallas VPU kernel.
 
-    ``rgb``: float32 ``[H, W, 3]``. Demonstrates the elementwise-kernel
-    pattern: grid over row blocks, each block streamed HBM→VMEM→HBM.
+    ``rgb``: float32 ``[H, W, 3]``. The kernel operates *planar*
+    (``[3, H, W]``) so the 128-lane axis carries image width, not the
+    3-channel axis (which Mosaic cannot tile); the interleave↔planar
+    transposes fuse into neighbors under jit.
     """
     H, W = int(rgb.shape[0]), int(rgb.shape[1])
     m = _YUV_FROM_RGB
+    planar = jnp.transpose(rgb, (2, 0, 1))  # [3, H, W]
 
     def kernel(in_ref, out_ref):
-        x = in_ref[:]  # [block, W, 3]
-        r, g, b = x[..., 0], x[..., 1], x[..., 2]
-        y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
-        u = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
-        v = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
-        out_ref[:] = jnp.stack([y, u, v], axis=-1)
+        x = in_ref[:]  # [3, block, W]
+        r, g, b = x[0], x[1], x[2]
+        out_ref[0] = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+        out_ref[1] = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
+        out_ref[2] = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
 
     grid = (pl.cdiv(H, block_rows),)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_rows, W, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((3, block_rows, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (block_rows, W, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (3, block_rows, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((H, W, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, H, W), jnp.float32),
         interpret=interpret,
-    )(rgb)
+    )(planar)
+    return jnp.transpose(out, (1, 2, 0))
