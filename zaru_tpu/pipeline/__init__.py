@@ -9,5 +9,13 @@ on the leading axis (vmap) / shards them across chips (parallel.mesh).
 
 from .face_cascade import FaceTracker, FaceTrackerState
 from .hand_cascade import MultiHandTracker
+from .multi_face import MultiFaceTracker
+from .multi_object import MultiObjectTracker
 
-__all__ = ["FaceTracker", "FaceTrackerState", "MultiHandTracker"]
+__all__ = [
+    "FaceTracker",
+    "FaceTrackerState",
+    "MultiHandTracker",
+    "MultiFaceTracker",
+    "MultiObjectTracker",
+]

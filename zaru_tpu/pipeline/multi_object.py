@@ -1,0 +1,224 @@
+"""Generic fused multi-object tracking.
+
+The fixed-slot machinery behind :class:`~zaru_tpu.pipeline.MultiHandTracker`
+(see hand_cascade.py for the reference mapping), parameterized over any
+(detection network, landmark network) pair: palm→hand, face→mesh, body→pose.
+One jitted step per frame: scheduled detection, IoU dedup + slot
+assignment, one vmapped landmark pass for all slots, ROI update, presence
+deactivation, overlap culling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..detection.nms import nms_average_device
+from ..geometry import (
+    rect_grow_rel,
+    rect_grow_to_fit_aspect,
+    rect_iou,
+    rrect_bounding,
+    rrect_transform_out,
+)
+
+__all__ = ["MultiObjectTracker"]
+
+
+class MultiObjectTracker:
+    """Fixed-slot multi-object tracker as one jitted step per frame.
+
+    Subclasses / callers provide:
+
+    - ``detector``: a DetectionNetwork with ``cnn()`` and
+      ``decode_device(outputs, thresh) -> (boxes, conf, kps, angles)``;
+    - ``landmarker``: a LandmarkNetwork with ``cnn()`` and
+      ``decode_device(outputs) -> (coords [N,3], confidence, *extras)``;
+    - ``residual_angle(xy_view) -> scalar``: the object's rotation measured
+      from landmarks in view coordinates (added to the ROI rotation);
+    - ``grow_by``: detection box → ROI growth factor;
+    - ``roi_padding``: relative padding applied to the landmark bounding box.
+    """
+
+    def __init__(
+        self,
+        detector,
+        landmarker,
+        *,
+        residual_angle,
+        grow_by: float = 1.0,
+        roi_padding: float = 0.3,
+        max_objects: int = 4,
+        detect_interval: int = 9,
+        detection_threshold: float = 0.5,
+        presence_threshold: float = 0.5,
+        iou_thresh: float = 0.3,
+        num_landmarks: int | None = None,
+    ):
+        self.detector = detector
+        self.landmarker = landmarker
+        self.det_cnn = detector.cnn()
+        self.lm_cnn = landmarker.cnn()
+        self.residual_angle = residual_angle
+        self.grow_by = grow_by
+        self.roi_padding = roi_padding
+        self.max_objects = max_objects
+        self.detect_interval = detect_interval
+        self.detection_threshold = detection_threshold
+        self.presence_threshold = presence_threshold
+        self.iou_thresh = iou_thresh
+
+        self.params = {"det": self.det_cnn.params, "lm": self.lm_cnn.params}
+        self._step = jax.jit(self.step)
+        self._step_batch = jax.jit(jax.vmap(self.step, in_axes=(None, 0, 0)))
+
+    # Back-compat alias used by existing tests/code.
+    @property
+    def max_hands(self) -> int:
+        return self.max_objects
+
+    def init_state(self, batch: int | None = None):
+        def bcast(x):
+            x = jnp.asarray(x)
+            return jnp.broadcast_to(x, (batch,) + x.shape) if batch else x
+
+        h = self.max_objects
+        return {
+            "rois": bcast(jnp.zeros((h, 5), jnp.float32)),
+            "active": bcast(jnp.zeros(h, bool)),
+            "frame": bcast(jnp.asarray(0, jnp.int32)),
+        }
+
+    # --- detection & slot assignment -------------------------------------
+
+    def _detect(self, params, frame):
+        """Detector → up to max_objects candidate ROIs in image coords."""
+        h, w = frame.shape[0], frame.shape[1]
+        res = self.det_cnn.input_resolution()
+        aspect = np.float32(res.width) / np.float32(res.height)
+        fit = rect_grow_to_fit_aspect(
+            jnp.asarray([w / 2.0, h / 2.0, float(w), float(h)], jnp.float32), aspect
+        )
+        fit_rrect = jnp.concatenate([fit, jnp.zeros(1, jnp.float32)])
+
+        outputs = self.det_cnn.apply_on_view(params["det"], frame, fit_rrect)
+        boxes, conf, kps, angles = self.detector.decode_device(
+            outputs, self.detection_threshold
+        )
+        valid, _conf, avg_box, _kp, avg_angle = nms_average_device(
+            boxes, conf, kps, angles, iou_thresh=self.iou_thresh,
+            max_out=self.max_objects,
+        )
+
+        scale = fit[2] / np.float32(res.width)
+        top_left = fit[0:2] - fit[2:4] * 0.5
+        center = avg_box[:, 0:2] * scale + top_left
+        size = avg_box[:, 2:4] * scale
+        rect = rect_grow_rel(jnp.concatenate([center, size], axis=-1), self.grow_by)
+        rois = jnp.concatenate([rect, avg_angle[:, None]], axis=-1)
+        return rois, valid
+
+    def _assign(self, state, cand_rois, cand_valid):
+        """Assigns non-overlapping candidates to free slots."""
+
+        def body(i, carry):
+            rois, active = carry
+            cand = cand_rois[i]
+            ious = rect_iou(cand[None, 0:4], rois[:, 0:4])
+            overlaps = jnp.any(active & (ious >= self.iou_thresh))
+            free = jnp.argmin(active)
+            have_free = ~active[free]
+            do = cand_valid[i] & ~overlaps & have_free
+            rois = jnp.where(do, rois.at[free].set(cand), rois)
+            active = jnp.where(do, active.at[free].set(True), active)
+            return rois, active
+
+        return lax.fori_loop(
+            0, self.max_objects, body, (state["rois"], state["active"])
+        )
+
+    # --- per-slot tracking -------------------------------------------------
+
+    def _track_slot(self, params, frame, roi):
+        """One landmark step on a slot ROI; returns
+        (new_roi, confidence, extras tuple, positions [N,3])."""
+        res = self.lm_cnn.input_resolution()
+        aspect = np.float32(res.width) / np.float32(res.height)
+        view_rect = jnp.concatenate(
+            [rect_grow_to_fit_aspect(roi[0:4], aspect), roi[4:5]]
+        )
+        outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
+        coords, confidence, *extras = self.landmarker.decode_device(outputs)
+
+        scale = view_rect[2] / np.float32(res.width)
+        xy_view = coords[:, 0:2] * scale
+        z = coords[:, 2:3] * scale
+
+        angle = roi[4] + self.residual_angle(xy_view)
+
+        xy = rrect_transform_out(view_rect, xy_view)
+        pos = jnp.concatenate([xy, z], axis=-1)
+
+        new_roi = rrect_bounding(angle, xy)
+        new_roi = jnp.concatenate(
+            [rect_grow_rel(new_roi[0:4], self.roi_padding), new_roi[4:5]]
+        )
+        return new_roi, confidence, tuple(extras), pos
+
+    # --- the fused step ------------------------------------------------------
+
+    def step(self, params, state, frame):
+        """One frame; fixed-shape outputs: landmarks [S,N,3],
+        confidence [S], extras, rois [S,5], valid [S]."""
+        do_detect = (~jnp.any(state["active"])) | (
+            state["frame"] % self.detect_interval == 0
+        )
+
+        def with_detection(_):
+            cand_rois, cand_valid = self._detect(params, frame)
+            return self._assign(state, cand_rois, cand_valid)
+
+        def without_detection(_):
+            return state["rois"], state["active"]
+
+        rois, active = lax.cond(do_detect, with_detection, without_detection, None)
+
+        new_rois, confidence, extras, pos = jax.vmap(
+            lambda r: self._track_slot(params, frame, r)
+        )(rois)
+
+        keep = active & (confidence >= self.presence_threshold)
+        rois = jnp.where(keep[:, None], new_rois, rois)
+
+        # Cull newer slots overlapping older active slots.
+        s = self.max_objects
+        ious = rect_iou(rois[:, None, 0:4], rois[None, :, 0:4])
+        older = jnp.tril(jnp.ones((s, s), bool), k=-1)
+        overlap_older = jnp.any(
+            older & (ious >= self.iou_thresh) & keep[None, :] & keep[:, None],
+            axis=1,
+        )
+        keep = keep & ~overlap_older
+
+        new_state = {"rois": rois, "active": keep, "frame": state["frame"] + 1}
+        z = keep.astype(jnp.float32)
+        out = {
+            "landmarks": pos * z[:, None, None],
+            "confidence": confidence * z,
+            "rois": rois * z[:, None],
+            "valid": keep,
+        }
+        for i, ex in enumerate(extras):
+            out[f"extra{i}"] = ex * z.reshape(z.shape + (1,) * (ex.ndim - 1))
+        return new_state, out
+
+    # --- host API -------------------------------------------------------------
+
+    def run_frame(self, state, frame):
+        return self._step(self.params, state, frame)
+
+    def run_frames(self, state, frames):
+        return self._step_batch(self.params, state, frames)
