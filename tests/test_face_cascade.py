@@ -100,3 +100,21 @@ class TestFusedCascade:
         d01 = float(jnp.abs(outs["landmarks"][1] - outs["landmarks"][0]).max())
         d34 = float(jnp.abs(outs["landmarks"][4] - outs["landmarks"][3]).max())
         assert d34 <= d01 + 1e-3
+
+    def test_long_horizon_stability(self, tracker, frame):
+        """Soak: 40 identical frames through one scan — tracking must never
+        drop, ROI and landmarks must converge (no drift/oscillation)."""
+        frames = jnp.stack([frame] * 40)
+        state = tracker.init_state()
+        _, outs = tracker.scan_video(state, frames)
+        valid = np.asarray(outs["valid"])
+        assert valid[1:].all()
+        rois = np.asarray(outs["roi"])
+        drift = np.abs(rois[30:, :2] - rois[30, :2]).max()
+        assert drift < 2.0, f"ROI drifting in steady state: {drift}px"
+        # The crop→landmarks→ROI feedback has a small bounded limit cycle
+        # (~1px) on static input, like any nearest-neighbor-resampled
+        # tracker; assert bounded, not frozen.
+        lm = np.asarray(outs["landmarks"])
+        wobble = np.abs(lm[32:] - lm[32]).max()
+        assert wobble < 3.0, f"landmarks oscillating: {wobble}px"

@@ -212,3 +212,34 @@ class TestFaceRecognition:
         rng = np.random.default_rng(0)
         noise = Image.from_array(rng.integers(0, 255, (112, 112, 3), np.uint8))
         assert embedding_distance(a, emb.embed(noise)) > 0.5
+
+
+class TestVideoFile:
+    def test_read_frames(self, tmp_path):
+        import cv2
+
+        from zaru_tpu.video.file import VideoFile
+
+        p = str(tmp_path / "t.avi")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 24))
+        for i in range(5):
+            w.write(np.full((24, 32, 3), i * 40, np.uint8))
+        w.release()
+
+        vf = VideoFile(p)
+        assert vf.frame_count() == 5
+        assert vf.fps() == pytest.approx(10.0)
+        assert vf.resolution().width == 32
+        frames = list(vf)
+        assert len(frames) == 5
+        assert frames[0].to_numpy().shape == (24, 32, 4)
+        # Brightness increases across frames (MJPEG is lossy; loose check).
+        means = [f.to_numpy()[..., :3].mean() for f in frames]
+        assert means[4] > means[0] + 100
+        vf.close()
+
+    def test_missing_file(self):
+        from zaru_tpu.video.file import VideoFile
+
+        with pytest.raises(RuntimeError, match="failed to open"):
+            VideoFile("/nonexistent/video.mp4")
