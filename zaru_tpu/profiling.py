@@ -1,0 +1,46 @@
+"""Profiling hooks.
+
+The reference's observability is EMA timers + FPS logs (timer.rs); those
+exist in :mod:`zaru_tpu.timer`. This module adds the TPU-native layer: XLA
+profiler traces viewable in TensorBoard/Perfetto, scoped annotations that
+show up on the device timeline, and a simple block timer that forces device
+completion.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import jax
+
+__all__ = ["trace", "annotate", "device_timer"]
+
+
+@contextmanager
+def trace(log_dir: str):
+    """Captures an XLA profiler trace for the enclosed block
+    (view with TensorBoard or Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region that appears on the profiler timeline."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextmanager
+def device_timer(label: str = "block", sink=print):
+    """Times a block including device completion (blocks on all async
+    dispatches before reading the clock)."""
+    start = time.perf_counter()
+    try:
+        yield
+    finally:
+        # Wait for every outstanding computation before reading the clock.
+        jax.effects_barrier()
+        sink(f"{label}: {(time.perf_counter() - start) * 1e3:.2f}ms")
