@@ -80,13 +80,27 @@ def child_main(batch: int) -> None:
     jax.block_until_ready(frames)
     state = tracker.init_state(batch=batch)
 
+    # The measured loop is the honest production cadence: a full detection
+    # pass every DETECT_EVERY frames (the reference's 300 ms redetect at
+    # 30 fps ≈ 9 frames, tracking.rs:41), landmark+smooth every frame.
+    DETECT_EVERY = 9
+    step_full = jax.vmap(tracker.step, in_axes=(None, 0, 0))
+
     @jax.jit
     def run_scan(params, state, frames):
-        def body(st, _):
-            st, out = tracker.step_batch(params, st, frames)
+        def body(carry, t):
+            st = carry
+
+            def detect_frame(_):
+                return step_full(params, st, frames)
+
+            def track_frame(_):
+                return tracker.step_batch(params, st, frames)
+
+            st, out = lax.cond(t % DETECT_EVERY == 0, detect_frame, track_frame, None)
             return st, out["confidence"]
 
-        return lax.scan(body, state, None, length=SCAN_STEPS)
+        return lax.scan(body, state, jnp.arange(SCAN_STEPS))
 
     t0 = time.perf_counter()
     state, out = tracker.run_frames(state, frames)
@@ -109,7 +123,9 @@ def child_main(batch: int) -> None:
 
     fps_windows = measure_windows()
     log(f"[B={batch}] windows fps: " + " ".join(f"{f:.0f}" for f in fps_windows))
-    if max(fps_windows) < 5000 and os.environ.get("ZARU_BENCH_RETRY", "1") == "1":
+    # "Throttled" heuristic scales with batch (quiet-phase rates are
+    # orders of magnitude above this at any batch size).
+    if max(fps_windows) < batch * 400 and os.environ.get("ZARU_BENCH_RETRY", "1") == "1":
         log(f"[B={batch}] all windows look throttled; cooling down 30s, retrying")
         time.sleep(30)
         retry = measure_windows()
@@ -183,7 +199,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "1080p frames/sec/chip, full detect→landmark→smooth cascade ("
+                    "1080p frames/sec/chip, detect/9-frames + landmark+smooth/frame cascade ("
                     + "; ".join(parts)
                     + ")"
                 ),

@@ -52,9 +52,10 @@ def test_profiling_device_timer():
     from zaru_tpu.profiling import annotate, device_timer
 
     out = []
-    with device_timer("t", sink=out.append):
+    with device_timer("t", sink=out.append) as sync:
         with annotate("region"):
             import jax.numpy as jnp
 
-            (jnp.ones((8, 8)) * 2).block_until_ready()
+            y = sync(jnp.ones((8, 8)) * 2)
     assert out and out[0].startswith("t: ")
+    assert float(y.sum()) == 128.0

@@ -12,8 +12,6 @@ from pathlib import Path
 
 import numpy as np
 
-import jax
-
 __all__ = ["save_params", "load_params"]
 
 

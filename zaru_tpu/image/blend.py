@@ -19,11 +19,26 @@ from ..geometry import rrect_transform_in, rrect_transform_out
 __all__ = ["blend", "blend_device", "bilinear_sample"]
 
 
+def _srgb_to_linear(c):
+    """sRGB EOTF on [0,1] values (color.rs:58-73)."""
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(l):
+    return jnp.where(
+        l <= 0.0031308, l * 12.92, 1.055 * jnp.maximum(l, 1e-12) ** (1 / 2.4) - 0.055
+    )
+
+
 def bilinear_sample(image_u8, pts):
     """Bilinearly samples ``image_u8 [H,W,4]`` at absolute pixel coords
     ``pts [...,2]`` (texel centers at i+0.5, GPU sampler convention).
-    Returns float32 RGBA; coordinates outside [0, W]×[0, H] return 0
-    (matching blend.wgsl's UV clamp-to-zero)."""
+
+    Filtering happens in *linear* light like the reference's sRGB texture
+    views (image.rs:50-53: samples decode sRGB→linear before the GPU
+    filter); alpha is linear already. Returns float32 linear-RGB + alpha in
+    [0,1]; coordinates outside [0, W]×[0, H] return 0 (blend.wgsl's UV
+    clamp-to-zero)."""
     H, W = image_u8.shape[0], image_u8.shape[1]
     x = pts[..., 0] - 0.5
     y = pts[..., 1] - 0.5
@@ -35,7 +50,9 @@ def bilinear_sample(image_u8, pts):
     def tex(xi, yi):
         xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
-        return image_u8[yi, xi].astype(jnp.float32)
+        texel = image_u8[yi, xi].astype(jnp.float32) / 255.0
+        rgb = _srgb_to_linear(texel[..., :3])
+        return jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
 
     c00 = tex(x0, y0)
     c10 = tex(x0 + 1, y0)
@@ -76,10 +93,13 @@ def blend_device(dest_u8, dest_rrect, src_u8, src_rrect):
     src_local = uv * jnp.stack([src_rrect[2], src_rrect[3]])
     src_pts = rrect_transform_out(src_rrect, src_local)
 
-    sampled = bilinear_sample(src_u8, src_pts)
+    sampled = bilinear_sample(src_u8, src_pts)  # linear light, [0,1]
+    srgb = jnp.concatenate(
+        [_linear_to_srgb(sampled[..., :3]), sampled[..., 3:4]], axis=-1
+    )
     out = jnp.where(
         inside[..., None],
-        jnp.clip(sampled + 0.5, 0, 255).astype(jnp.uint8),
+        jnp.clip(srgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8),
         dest_u8,
     )
     return out

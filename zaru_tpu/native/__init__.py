@@ -32,9 +32,16 @@ def lib() -> ctypes.CDLL:
         return _lib
     if os.environ.get("ZARU_TPU_NATIVE", "1") == "0":
         raise NativeUnavailable("disabled via ZARU_TPU_NATIVE=0")
-    if not _SO_PATH.is_file() or _SO_PATH.stat().st_mtime < (
-        _NATIVE_DIR / "zaru_native.cpp"
-    ).stat().st_mtime:
+    src = _NATIVE_DIR / "zaru_native.cpp"
+    if not src.is_file() and not _SO_PATH.is_file():
+        # Installed as a wheel without the native tree.
+        raise NativeUnavailable(
+            f"native sources not found at {src}; install from the source "
+            "repo or set ZARU_TPU_NATIVE=0 to silence"
+        )
+    if not _SO_PATH.is_file() or (
+        src.is_file() and _SO_PATH.stat().st_mtime < src.stat().st_mtime
+    ):
         log.info("building native library in %s", _NATIVE_DIR)
         try:
             subprocess.run(

@@ -32,27 +32,12 @@ from ..detection.nms import nms_average_device
 from ..face.detection import ShortRangeNetwork
 from ..face.landmark.mediapipe import FaceMeshV1, LandmarkIdx
 from ..filters import OneEuroFilter
-from ..geometry import (
-    rect_grow_to_fit_aspect,
-    rect_grow_rel,
-    rrect_bounding,
-    rrect_transform_out,
-    signed_angle_to_x,
-)
+from ..geometry import signed_angle_to_x
+from . import _ops
 
 __all__ = ["FaceTracker", "FaceTrackerState"]
 
 FaceTrackerState = dict  # pytree: roi [5], tracking [], filter state
-
-
-def _grow_rel_rrect(rrect, amount):
-    grown = rect_grow_rel(rrect[..., 0:4], amount)
-    return jnp.concatenate([grown, rrect[..., 4:5]], axis=-1)
-
-
-def _grow_to_fit_aspect_rrect(rrect, aspect):
-    grown = rect_grow_to_fit_aspect(rrect[..., 0:4], aspect)
-    return jnp.concatenate([grown, rrect[..., 4:5]], axis=-1)
 
 
 class FaceTracker:
@@ -124,16 +109,12 @@ class FaceTracker:
         """BlazeFace → best (weighted-averaged) detection → seed ROI.
 
         Mirrors Detector::detect_impl (detection.rs:216-270) + the example's
-        `tracker.set_roi(detection.bounding_rect())` (facemesh.rs:50-54).
-        Returns (roi [5], found bool).
+        `tracker.set_roi(detection.bounding_rect())` (facemesh.rs:50-54):
+        the seed ROI is the unrotated bounding rect. Returns (roi [5],
+        found bool).
         """
-        h, w = frame.shape[0], frame.shape[1]
         res = self.det_cnn.input_resolution()
-        aspect = np.float32(res.width) / np.float32(res.height)
-        fit = rect_grow_to_fit_aspect(
-            jnp.asarray([w / 2.0, h / 2.0, float(w), float(h)], jnp.float32), aspect
-        )
-        fit_rrect = jnp.concatenate([fit, jnp.zeros(1, jnp.float32)])
+        fit, fit_rrect = _ops.full_frame_fit(frame, res)
 
         outputs = self.det_cnn.apply_on_view(params["det"], frame, fit_rrect)
         boxes, conf, kps, angles = self.detector.decode_device(
@@ -142,22 +123,14 @@ class FaceTracker:
         valid, seed_conf, avg_box, avg_kp, avg_angle = nms_average_device(
             boxes, conf, kps, angles, max_out=1
         )
-        found = valid[0]
-        box = avg_box[0]
-
-        # Un-map network coords → image coords (detection.rs:245-267).
-        scale = fit[2] / np.float32(res.width)
-        top_left = fit[0:2] - fit[2:4] * 0.5
-        center = box[0:2] * scale + top_left
-        size = box[2:4] * scale
-        roi = jnp.concatenate([center, size, jnp.zeros(1, jnp.float32)])
-        return roi, found
+        rect = _ops.unmap_center_size(avg_box[0], fit, res)
+        roi = jnp.concatenate([rect, jnp.zeros(1, jnp.float32)])
+        return roi, valid[0]
 
     def _track(self, params, state, frame, roi, seeded):
         """One landmark-tracking step (landmark.rs:463-501), traced."""
         res = self.lm_cnn.input_resolution()
-        aspect = np.float32(res.width) / np.float32(res.height)
-        view_rect = _grow_to_fit_aspect_rrect(roi, aspect)
+        view_rect = _ops.aspect_view_rect(roi, res)
 
         outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
         coords, conf = self.landmarker.decode_device(outputs)
@@ -176,10 +149,8 @@ class FaceTracker:
         else:
             fstate = state["filter"]
 
-        # view → image coordinates.
-        scale = view_rect[2] / np.float32(res.width)
-        xy_view = coords[:, 0:2] * scale
-        z = coords[:, 2:3] * scale
+        xy_view, pos = _ops.landmarks_to_image(coords, view_rect, res)
+        xy = pos[:, 0:2]
 
         # Face rotation from outer eye corners, measured in VIEW coordinates
         # (the estimate's residual rotation relative to the rotated ROI),
@@ -191,10 +162,7 @@ class FaceTracker:
         )
         angle = roi[4] + signed_angle_to_x(ltr)
 
-        xy = rrect_transform_out(view_rect, xy_view)
-        pos = jnp.concatenate([xy, z], axis=-1)
-
-        new_roi = _grow_rel_rrect(rrect_bounding(angle, xy), self.roi_padding)
+        new_roi = _ops.padded_roi(xy, angle, self.roi_padding)
         tracking = conf >= self.loss_threshold
 
         new_state = {"roi": new_roi, "tracking": tracking, "filter": fstate}

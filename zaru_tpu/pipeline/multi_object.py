@@ -10,20 +10,14 @@ deactivation, overlap culling.
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..detection.nms import nms_average_device
-from ..geometry import (
-    rect_grow_rel,
-    rect_grow_to_fit_aspect,
-    rect_iou,
-    rrect_bounding,
-    rrect_transform_out,
-)
+from ..geometry import rect_grow_rel, rect_iou
+from . import _ops
 
 __all__ = ["MultiObjectTracker"]
 
@@ -96,13 +90,8 @@ class MultiObjectTracker:
 
     def _detect(self, params, frame):
         """Detector → up to max_objects candidate ROIs in image coords."""
-        h, w = frame.shape[0], frame.shape[1]
         res = self.det_cnn.input_resolution()
-        aspect = np.float32(res.width) / np.float32(res.height)
-        fit = rect_grow_to_fit_aspect(
-            jnp.asarray([w / 2.0, h / 2.0, float(w), float(h)], jnp.float32), aspect
-        )
-        fit_rrect = jnp.concatenate([fit, jnp.zeros(1, jnp.float32)])
+        fit, fit_rrect = _ops.full_frame_fit(frame, res)
 
         outputs = self.det_cnn.apply_on_view(params["det"], frame, fit_rrect)
         boxes, conf, kps, angles = self.detector.decode_device(
@@ -113,11 +102,9 @@ class MultiObjectTracker:
             max_out=self.max_objects,
         )
 
-        scale = fit[2] / np.float32(res.width)
-        top_left = fit[0:2] - fit[2:4] * 0.5
-        center = avg_box[:, 0:2] * scale + top_left
-        size = avg_box[:, 2:4] * scale
-        rect = rect_grow_rel(jnp.concatenate([center, size], axis=-1), self.grow_by)
+        rect = rect_grow_rel(
+            _ops.unmap_center_size(avg_box, fit, res), self.grow_by
+        )
         rois = jnp.concatenate([rect, avg_angle[:, None]], axis=-1)
         return rois, valid
 
@@ -146,26 +133,13 @@ class MultiObjectTracker:
         """One landmark step on a slot ROI; returns
         (new_roi, confidence, extras tuple, positions [N,3])."""
         res = self.lm_cnn.input_resolution()
-        aspect = np.float32(res.width) / np.float32(res.height)
-        view_rect = jnp.concatenate(
-            [rect_grow_to_fit_aspect(roi[0:4], aspect), roi[4:5]]
-        )
+        view_rect = _ops.aspect_view_rect(roi, res)
         outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
         coords, confidence, *extras = self.landmarker.decode_device(outputs)
 
-        scale = view_rect[2] / np.float32(res.width)
-        xy_view = coords[:, 0:2] * scale
-        z = coords[:, 2:3] * scale
-
+        xy_view, pos = _ops.landmarks_to_image(coords, view_rect, res)
         angle = roi[4] + self.residual_angle(xy_view)
-
-        xy = rrect_transform_out(view_rect, xy_view)
-        pos = jnp.concatenate([xy, z], axis=-1)
-
-        new_roi = rrect_bounding(angle, xy)
-        new_roi = jnp.concatenate(
-            [rect_grow_rel(new_roi[0:4], self.roi_padding), new_roi[4:5]]
-        )
+        new_roi = _ops.padded_roi(pos[:, 0:2], angle, self.roi_padding)
         return new_roi, confidence, tuple(extras), pos
 
     # --- the fused step ------------------------------------------------------

@@ -35,12 +35,27 @@ def annotate(name: str):
 
 @contextmanager
 def device_timer(label: str = "block", sink=print):
-    """Times a block including device completion (blocks on all async
-    dispatches before reading the clock)."""
+    """Times a block including device completion.
+
+    JAX dispatch is async and there is no global "wait for everything"
+    primitive for *pure* computations, so the context yields a ``sync``
+    callable — pass it the block's output arrays (it returns them
+    unchanged) and they are blocked on before the clock is read::
+
+        with device_timer("step") as sync:
+            out = sync(step(params, x))
+    """
+    pending = []
+
+    def sync(x):
+        pending.append(x)
+        return x
+
     start = time.perf_counter()
     try:
-        yield
+        yield sync
     finally:
-        # Wait for every outstanding computation before reading the clock.
-        jax.effects_barrier()
+        for p in pending:
+            jax.block_until_ready(p)
+        jax.effects_barrier()  # flush effectful work (debug prints, etc.)
         sink(f"{label}: {(time.perf_counter() - start) * 1e3:.2f}ms")

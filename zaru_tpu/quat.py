@@ -75,22 +75,26 @@ def from_axis_angle(axis, radians):
     )
 
 
+def _axis_quat(radians, axis_index: int):
+    xp = _xp(radians)
+    half = xp.asarray(radians) / 2.0
+    c, s = xp.cos(half), xp.sin(half)
+    zero = xp.zeros_like(s)
+    parts = [c] + [zero, zero, zero]
+    parts[1 + axis_index] = s
+    return xp.stack(parts, axis=-1)
+
+
 def from_rotation_x(radians):
-    return np.array(
-        [np.cos(radians / 2), np.sin(radians / 2), 0.0, 0.0], np.float32
-    )
+    return _axis_quat(radians, 0)
 
 
 def from_rotation_y(radians):
-    return np.array(
-        [np.cos(radians / 2), 0.0, np.sin(radians / 2), 0.0], np.float32
-    )
+    return _axis_quat(radians, 1)
 
 
 def from_rotation_z(radians):
-    return np.array(
-        [np.cos(radians / 2), 0.0, 0.0, np.sin(radians / 2)], np.float32
-    )
+    return _axis_quat(radians, 2)
 
 
 def from_euler(roll, pitch, yaw):
@@ -100,13 +104,14 @@ def from_euler(roll, pitch, yaw):
 
 
 def to_euler(q):
-    """Quaternion → (roll, pitch, yaw), inverse of :func:`from_euler`."""
-    w, x, y, z = (float(v) for v in q)
-    roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
-    sinp = 2 * (w * y - z * x)
-    pitch = np.arcsin(np.clip(sinp, -1.0, 1.0))
-    yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
-    return float(roll), float(pitch), float(yaw)
+    """Quaternion → (roll, pitch, yaw), inverse of :func:`from_euler`.
+    Traceable; returns scalars of the input's array namespace."""
+    xp = _xp(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    roll = xp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    pitch = xp.arcsin(xp.clip(2 * (w * y - z * x), -1.0, 1.0))
+    yaw = xp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return roll, pitch, yaw
 
 
 def to_rotation_matrix(q):
@@ -123,7 +128,8 @@ def to_rotation_matrix(q):
 
 
 def from_rotation_matrix(m):
-    """Rotation matrix [3,3] → unit quaternion (numerically robust)."""
+    """Rotation matrix [3,3] → unit quaternion (numerically robust).
+    Host-only (data-dependent branching); not traceable."""
     m = np.asarray(m, np.float64)
     t = np.trace(m)
     if t > 0:
