@@ -13,9 +13,10 @@ Methodology: two configurations —
 - batch 128 (MXU-saturating multi-stream serving; the headline value,
   since the north-star metric is frames/sec/chip).
 
-Throughput uses multi-step ``lax.scan`` dispatches (steady-state tracking
-with the batch-level detection gate) over several short windows, reporting
-the best window. The tunneled TPU in this environment is time-shared with
+Throughput uses multi-step ``lax.scan`` dispatches at the production
+cadence — a full detection pass every 9 frames (the reference's 300 ms
+redetect at 30 fps), landmark+smooth every frame — over several short
+windows, reporting the best window. The tunneled TPU in this environment is time-shared with
 ~100× swings between quiet and contended phases and occasionally wedges
 entirely, so each configuration runs in a killable subprocess with a
 timeout and one retry.
