@@ -1,0 +1,114 @@
+"""Unit tests for the extended ONNX op set (user-model coverage), driven
+through synthetic nodes against numpy/torch references."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zaru_tpu.onnx.ops import OPS
+from zaru_tpu.onnx.proto import OnnxNode
+
+
+def run(op, vals, attrs=None, statics=None, n_out=1):
+    node = OnnxNode(op, [""] * len(vals), [""] * n_out, attrs=attrs or {})
+    statics = statics or [v if isinstance(v, np.ndarray) else None for v in vals]
+    return OPS[op](node, vals, statics)
+
+
+rng = np.random.default_rng(0)
+
+
+class TestElementwise:
+    def test_simple_unary(self):
+        x = jnp.asarray(rng.normal(0, 2, (4, 5)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(run("Abs", [x])), np.abs(np.asarray(x)))
+        np.testing.assert_allclose(np.asarray(run("Floor", [x])), np.floor(np.asarray(x)))
+        np.testing.assert_allclose(np.asarray(run("Ceil", [x])), np.ceil(np.asarray(x)))
+        np.testing.assert_allclose(
+            np.asarray(run("Log", [jnp.abs(x) + 1])), np.log(np.abs(np.asarray(x)) + 1), rtol=1e-6
+        )
+
+    def test_elu_gelu(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.normal(0, 1, (8,)).astype(np.float32)
+        got = np.asarray(run("Elu", [jnp.asarray(x)], {"alpha": 1.0}))
+        np.testing.assert_allclose(got, F.elu(torch.from_numpy(x)).numpy(), rtol=1e-5)
+        got = np.asarray(run("Gelu", [jnp.asarray(x)]))
+        np.testing.assert_allclose(got, F.gelu(torch.from_numpy(x)).numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_comparisons_where(self):
+        a = jnp.asarray([1.0, 2.0, 3.0])
+        b = jnp.asarray([2.0, 2.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(run("Greater", [a, b])), [False, False, True])
+        np.testing.assert_array_equal(np.asarray(run("Equal", [a, b])), [False, True, False])
+        np.testing.assert_array_equal(
+            np.asarray(run("Where", [a > b, a, b])), [2.0, 2.0, 3.0]
+        )
+
+
+class TestShapeOps:
+    def test_expand_tile(self):
+        x = jnp.asarray([[1.0], [2.0]])
+        out = run("Expand", [x, np.asarray([2, 3], np.int64)],
+                  statics=[None, np.asarray([2, 3], np.int64)])
+        assert out.shape == (2, 3)
+        out = run("Tile", [x, np.asarray([2, 2], np.int64)],
+                  statics=[None, np.asarray([2, 2], np.int64)])
+        assert out.shape == (4, 2)
+
+    def test_reduce_max_min_argmax(self):
+        x = jnp.asarray(rng.normal(0, 1, (3, 4)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(run("ReduceMax", [x], {"axes": [1], "keepdims": 1})),
+            np.asarray(x).max(1, keepdims=True),
+        )
+        np.testing.assert_allclose(
+            np.asarray(run("ReduceMin", [x], {"axes": [0], "keepdims": 0})),
+            np.asarray(x).min(0),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(run("ArgMax", [x], {"axis": 1, "keepdims": 0})),
+            np.asarray(x).argmax(1),
+        )
+
+
+class TestNormsAndConvT:
+    def test_instance_norm(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.normal(0, 2, (2, 3, 5, 5)).astype(np.float32)
+        scale = rng.normal(1, 0.1, 3).astype(np.float32)
+        bias = rng.normal(0, 0.1, 3).astype(np.float32)
+        got = np.asarray(
+            run("InstanceNormalization", [jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)], {"epsilon": 1e-5})
+        )
+        want = F.instance_norm(
+            torch.from_numpy(x), weight=torch.from_numpy(scale), bias=torch.from_numpy(bias), eps=1e-5
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    @pytest.mark.parametrize("stride,pad", [(1, 0), (2, 0), (2, 1), (1, 1)])
+    def test_conv_transpose(self, stride, pad):
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.normal(0, 1, (1, 3, 7, 7)).astype(np.float32)
+        w = rng.normal(0, 1, (3, 4, 3, 3)).astype(np.float32)  # [Cin, Cout, kh, kw]
+        b = rng.normal(0, 1, 4).astype(np.float32)
+        got = np.asarray(
+            run(
+                "ConvTranspose",
+                [jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)],
+                {"strides": [stride, stride], "pads": [pad, pad, pad, pad]},
+            )
+        )
+        want = F.conv_transpose2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            stride=stride, padding=pad,
+        ).numpy()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)

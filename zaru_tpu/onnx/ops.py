@@ -578,3 +578,149 @@ def _batch_norm(node, vals, statics):
     shape = (1, -1) + (1,) * (x.ndim - 2)
     inv = lax.rsqrt(var.astype(jnp.float32) + eps).astype(x.dtype)
     return (x - mean.reshape(shape)) * (scale * inv).reshape(shape) + bias.reshape(shape)
+
+
+# --- extended coverage for user-supplied models ------------------------------
+
+
+@register("Abs")
+def _abs(node, vals, statics):
+    return jnp.abs(vals[0])
+
+
+@register("Floor")
+def _floor(node, vals, statics):
+    return jnp.floor(vals[0])
+
+
+@register("Ceil")
+def _ceil(node, vals, statics):
+    return jnp.ceil(vals[0])
+
+
+@register("Round")
+def _round(node, vals, statics):
+    return jnp.round(vals[0])  # ONNX Round is half-to-even, like jnp
+
+
+@register("Log")
+def _log(node, vals, statics):
+    return jnp.log(vals[0])
+
+
+@register("Elu")
+def _elu(node, vals, statics):
+    alpha = node.attrs.get("alpha", 1.0)
+    x = vals[0]
+    return jnp.where(x < 0, alpha * (jnp.exp(x) - 1.0), x)
+
+
+@register("Gelu")
+def _gelu(node, vals, statics):
+    approx = node.attrs.get("approximate", "none")
+    if isinstance(approx, bytes):
+        approx = approx.decode()
+    return jax.nn.gelu(vals[0], approximate=(approx == "tanh"))
+
+
+@register("Where")
+def _where(node, vals, statics):
+    return jnp.where(vals[0], vals[1], vals[2])
+
+
+@register("Equal")
+def _equal(node, vals, statics):
+    return vals[0] == vals[1]
+
+
+@register("Greater")
+def _greater(node, vals, statics):
+    return vals[0] > vals[1]
+
+
+@register("Less")
+def _less(node, vals, statics):
+    return vals[0] < vals[1]
+
+
+@register("Expand")
+def _expand(node, vals, statics):
+    shape = [int(s) for s in _need_static(node, statics, 1, "shape").tolist()]
+    x = vals[0]
+    # ONNX Expand: bidirectional broadcast; dims of 1 in `shape` keep x's.
+    out_shape = list(jnp.broadcast_shapes(tuple(x.shape), tuple(shape)))
+    return jnp.broadcast_to(x, out_shape)
+
+
+@register("Tile")
+def _tile(node, vals, statics):
+    reps = [int(r) for r in _need_static(node, statics, 1, "repeats").tolist()]
+    return jnp.tile(vals[0], reps)
+
+
+@register("ReduceMax")
+def _reduce_max(node, vals, statics):
+    return _reduce(node, vals, statics, jnp.max)
+
+
+@register("ReduceMin")
+def _reduce_min(node, vals, statics):
+    return _reduce(node, vals, statics, jnp.min)
+
+
+@register("ArgMax")
+def _argmax(node, vals, statics):
+    axis = node.attrs.get("axis", 0)
+    keepdims = bool(node.attrs.get("keepdims", 1))
+    out = jnp.argmax(vals[0], axis=axis).astype(jnp.int64)
+    return jnp.expand_dims(out, axis) if keepdims else out
+
+
+@register("InstanceNormalization")
+def _instance_norm(node, vals, statics):
+    x, scale, bias = vals
+    eps = node.attrs.get("epsilon", 1e-5)
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return (x - mean) * lax.rsqrt(var + eps) * scale.reshape(shape) + bias.reshape(shape)
+
+
+@register("ConvTranspose")
+def _conv_transpose(node, vals, statics):
+    x, w = vals[0], vals[1]
+    b = vals[2] if len(vals) > 2 else None
+    spatial = x.ndim - 2
+    strides = node.attrs.get("strides", [1] * spatial)
+    dilations = node.attrs.get("dilations", [1] * spatial)
+    group = node.attrs.get("group", 1)
+    if group != 1:
+        raise NotImplementedError("grouped ConvTranspose")
+    _, pad_pairs = _conv_pads(node, spatial)
+    out_pad = node.attrs.get("output_padding", [0] * spatial)
+
+    # ONNX ConvTranspose weights are [C_in, C_out/g, kh, kw]; lax transposed
+    # conv via conv_general_dilated with lhs_dilation.
+    kh_kw = w.shape[2:]
+    # Effective "SAME-style" padding math: lax wants padding on the dilated
+    # input; ONNX pads reduce the output.
+    lax_pads = [
+        (d * (k - 1) - p0, d * (k - 1) - p1 + op)
+        for (p0, p1), k, d, op in zip(pad_pairs, kh_kw, dilations, out_pad)
+    ]
+    w_flip = jnp.flip(w, axis=tuple(range(2, w.ndim)))
+    w_t = jnp.swapaxes(w_flip, 0, 1)  # → [C_out, C_in, kh, kw]
+    out = lax.conv_general_dilated(
+        x,
+        w_t.astype(x.dtype),
+        window_strides=[1] * spatial,
+        padding=lax_pads,
+        lhs_dilation=strides,
+        rhs_dilation=dilations,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype).reshape((1, -1) + (1,) * (out.ndim - 2))
+    return out
