@@ -118,3 +118,39 @@ class TestFusedCascade:
         lm = np.asarray(outs["landmarks"])
         wobble = np.abs(lm[32:] - lm[32]).max()
         assert wobble < 3.0, f"landmarks oscillating: {wobble}px"
+
+
+class TestFaceMeshV2Cascade:
+    def test_cascade_with_mesh_v2(self, frame):
+        """FaceTracker must also work with FaceMeshV2 (478 landmarks,
+        extra tongueOut output) — the reference example's configuration."""
+        from zaru_tpu.face.landmark.mediapipe import FaceMeshV2
+
+        t = FaceTracker(landmarker=FaceMeshV2())
+        state = t.init_state()
+        state, out = t.run_frame(state, frame)
+        assert bool(out["valid"])
+        assert out["landmarks"].shape == (478, 3)
+        assert float(out["confidence"]) > 0.9
+
+
+def test_image_set_pixel():
+    """Image.set must not crash on the read-only device view (regression)."""
+    from zaru_tpu.color import Color
+    from zaru_tpu.image import Image
+
+    img = Image.new(4, 4)
+    img.set(1, 2, Color(9, 8, 7, 255))
+    assert img.get(1, 2) == Color(9, 8, 7, 255)
+
+
+def test_landmarks_mutable_after_extract(sad_linus_cropped):
+    """Landmarks stay mutable after a network extract (regression:
+    set_positions used to keep a read-only device view)."""
+    from zaru_tpu.face.landmark.mediapipe import FaceMeshV1
+    from zaru_tpu.landmark import Estimator, Landmark
+
+    res = Estimator(FaceMeshV1()).estimate(sad_linus_cropped)
+    res.landmarks_mut().set(0, Landmark([1.0, 2.0, 3.0]))
+    res.landmarks_mut().positions()[1] = [4.0, 5.0, 6.0]
+    np.testing.assert_allclose(res.landmarks_mut().positions()[0], [1, 2, 3])

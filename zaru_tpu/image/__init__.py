@@ -113,7 +113,8 @@ class Image:
 
     def set(self, x: int, y: int, color: Color) -> None:
         """Sets one pixel (host-side; re-uploads — for debug/draw use)."""
-        arr = self.to_numpy()
+        # Device readback is a read-only view; copy before mutating.
+        arr = np.array(self.to_numpy(), copy=True)
         arr[y, x] = color.as_array()
         self._data = jnp.asarray(arr)
 

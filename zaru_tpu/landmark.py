@@ -70,7 +70,9 @@ class Landmarks:
         return self._positions
 
     def set_positions(self, arr) -> None:
-        arr = np.asarray(arr, np.float32)
+        # Copy: np.asarray of a device array is a read-only view, and the
+        # mutator API (set / positions()[i] = ...) needs a writable buffer.
+        arr = np.array(arr, np.float32, copy=True)
         assert arr.shape == self._positions.shape
         self._positions = arr
 

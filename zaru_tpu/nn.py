@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .image import Image, ImageView, as_view
 from .onnx import ImportedModel, load_model
-from .ops.sampling import sample_view_rgba
+from .ops.sampling import view_to_tensor_core
 from .resolution import Resolution
 
 log = logging.getLogger(__name__)
@@ -152,12 +152,7 @@ class Cnn:
         model = nn.model
 
         def apply_on_view(params, image_u8, rrect):
-            rgba = sample_view_rgba(image_u8, rrect, w, h)
-            mapped = color_mapper.map_array(rgba[..., :3])
-            if layout == "NCHW":
-                tensor = jnp.transpose(mapped, (2, 0, 1))[None]
-            else:
-                tensor = mapped[None]
+            tensor = view_to_tensor_core(image_u8, rrect, w, h, lo, hi, layout)
             return model.apply(params, tensor)
 
         self._apply_on_view = apply_on_view

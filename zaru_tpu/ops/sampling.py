@@ -36,12 +36,9 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import rrect_transform_out
+from ..num import round_half_away as _round_half_away
 
-__all__ = ["sample_view", "sample_view_rgba", "view_to_tensor"]
-
-
-def _round_half_away(x):
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+__all__ = ["sample_view", "sample_view_rgba", "view_to_tensor", "view_to_tensor_core"]
 
 
 def _view_grid(rrect, out_w: int, out_h: int, scale_to_view: bool):
@@ -82,8 +79,7 @@ def sample_view_rgba(image_u8, rrect, out_w: int, out_h: int, *, scale_to_view=T
     return jnp.where(valid[..., None], gathered, jnp.zeros_like(gathered))
 
 
-@partial(jax.jit, static_argnames=("out_w", "out_h", "layout"))
-def view_to_tensor(
+def view_to_tensor_core(
     image_u8,
     rrect,
     out_w: int,
@@ -92,7 +88,10 @@ def view_to_tensor(
     hi: float = 1.0,
     layout: str = "NCHW",
 ):
-    """Fused rotated-ROI sample + letterbox + linear color map → CNN input.
+    """Traceable core of the fused rotated-ROI sample + letterbox + linear
+    color map → CNN input. The single source of truth used both by the
+    jitted standalone op below and by ``Cnn.apply_on_view`` inside fused
+    pipelines — keep one copy so what's parity-tested is what runs.
 
     Returns ``[1, 3, out_h, out_w]`` (NCHW) or ``[1, out_h, out_w, 3]``
     (NHWC) float32. Matches ``Cnn::estimate``'s tensor construction
@@ -105,6 +104,11 @@ def view_to_tensor(
     if layout == "NCHW":
         return jnp.transpose(mapped, (2, 0, 1))[None]
     return mapped[None]
+
+
+view_to_tensor = partial(jax.jit, static_argnames=("out_w", "out_h", "layout"))(
+    view_to_tensor_core
+)
 
 
 def sample_view(image_u8, rrect, out_w: int, out_h: int):

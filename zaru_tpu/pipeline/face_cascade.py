@@ -70,7 +70,7 @@ class FaceTracker:
         self.roi_padding = roi_padding
         self.smooth = smooth
         self.elapsed = 1.0 / frame_rate
-        self.num_landmarks = 468
+        self.num_landmarks = len(self.landmarker.init_estimate().landmarks_mut())
 
         self.params = {
             "det": self.det_cnn.params,
@@ -79,6 +79,18 @@ class FaceTracker:
         self._step = jax.jit(self.step)
         self._step_batch = jax.jit(jax.vmap(self.step, in_axes=(None, 0, 0)))
         self._step_batch_gated = jax.jit(self.step_batch)
+
+        # Built once: re-jitting a fresh closure per call would recompile
+        # the whole scan program every invocation.
+        @jax.jit
+        def _scan_video(params, state, frames):
+            def body(st, frame):
+                st, out = self.step(params, st, frame)
+                return st, out
+
+            return lax.scan(body, state, frames)
+
+        self._scan_video = _scan_video
 
     # --- state ---------------------------------------------------------------
 
@@ -133,7 +145,9 @@ class FaceTracker:
         view_rect = _ops.aspect_view_rect(roi, res)
 
         outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
-        coords, conf = self.landmarker.decode_device(outputs)
+        # FaceMeshV2 returns an extra tongueOut value; ignore trailing extras.
+        coords, conf, *_extras = self.landmarker.decode_device(outputs)
+        coords = coords[: self.num_landmarks]
 
         # Smooth in network coordinates (landmark.rs:292-308). Freshly
         # seeded trackers reset the filter state.
@@ -241,13 +255,4 @@ class FaceTracker:
     def scan_video(self, state, frames):
         """Processes ``frames [T, H, W, 4]`` in one compiled lax.scan —
         useful for offline video and for benchmarking steady-state cost."""
-
-        @jax.jit
-        def run(params, state, frames):
-            def body(st, frame):
-                st, out = self.step(params, st, frame)
-                return st, out
-
-            return lax.scan(body, state, frames)
-
-        return run(self.params, state, frames)
+        return self._scan_video(self.params, state, frames)
