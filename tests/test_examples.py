@@ -18,10 +18,13 @@ RUNNABLE = [
     "facemarks68.py",
     "pose68.py",
     "fused_cascade.py",
+    "eye_tracking.py",
+    "palm_detection.py",
+    "hand_tracking.py",
 ]
 
 
-def _run(name, *args, frames=2, timeout=300):
+def _run(name, *args, frames=1, timeout=300):
     env = dict(os.environ)
     env.update(
         ZARU_TPU_GUI="none",

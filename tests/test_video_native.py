@@ -243,3 +243,33 @@ class TestVideoFile:
 
         with pytest.raises(RuntimeError, match="failed to open"):
             VideoFile("/nonexistent/video.mp4")
+
+
+class TestFaceIdentification:
+    def test_enroll_and_identify(self, sad_linus_full, sad_linus_cropped):
+        from zaru_tpu.face.identify import FaceIdentifier
+        from zaru_tpu.image import Image
+
+        ident = FaceIdentifier(threshold=1.0)
+        assert ident.enroll("linus", sad_linus_full)
+        assert len(ident) == 1
+
+        # Identify from the full photo (same source image -> near-zero
+        # distance; the crop runs through detection again).
+        match = ident.identify(sad_linus_full)
+        assert match is not None and match.name == "linus"
+        assert match.distance < 0.3
+
+        # No face -> None; no-enrollment path -> None.
+        blank = Image.new(128, 128)
+        assert ident.identify(blank) is None
+        empty = FaceIdentifier()
+        assert empty.identify(sad_linus_full) is None
+
+    def test_no_face_enroll(self):
+        from zaru_tpu.face.identify import FaceIdentifier
+        from zaru_tpu.image import Image
+
+        ident = FaceIdentifier()
+        assert not ident.enroll("nobody", Image.new(64, 64))
+        assert len(ident) == 0

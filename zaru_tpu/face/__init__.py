@@ -1,5 +1,5 @@
 """Face perception: detection, landmarks, eye/iris tracking, recognition."""
 
-from . import detection, eye, landmark
+from . import detection, eye, identify, landmark, recognition
 
-__all__ = ["detection", "eye", "landmark"]
+__all__ = ["detection", "eye", "identify", "landmark", "recognition"]
