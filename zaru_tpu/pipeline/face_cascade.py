@@ -193,23 +193,30 @@ class FaceTracker:
 
         ``frame``: ``[H, W, 4] uint8`` in HBM. Outputs: landmarks
         ``[468, 3]`` in image coords, confidence, roi, valid flag.
+
+        Structure note: the ``lax.cond`` only picks the ROI *source*
+        (carried state vs. fresh detection) and the landmark pass runs
+        exactly once. Wrapping the whole track step in both cond branches
+        instead lowers catastrophically under ``vmap`` (XLA executes both
+        selected branch bodies without fusing the duplicated gathers —
+        measured ~45× slower at batch 128).
         """
+        tracking = state["tracking"]
 
-        def when_tracking(_):
-            return self._track(params, state, frame, state["roi"], jnp.asarray(False))
+        def keep_roi(_):
+            return state["roi"], jnp.asarray(True)
 
-        def when_lost(_):
-            roi, found = self._detect_roi(params, frame)
-            new_state, out = self._track(params, state, frame, roi, jnp.asarray(True))
-            # If detection found nothing, stay lost and mark output invalid.
-            new_state = dict(
-                new_state,
-                tracking=new_state["tracking"] & found,
-            )
-            out = dict(out, valid=out["valid"] & found)
-            return new_state, out
+        def detect(_):
+            return self._detect_roi(params, frame)
 
-        return lax.cond(state["tracking"], when_tracking, when_lost, None)
+        roi, found = lax.cond(tracking, keep_roi, detect, None)
+        seeded = ~tracking
+
+        new_state, out = self._track(params, state, frame, roi, seeded)
+        # A failed detection (lost & nothing found) stays lost/invalid.
+        new_state = dict(new_state, tracking=new_state["tracking"] & found)
+        out = dict(out, valid=out["valid"] & found)
+        return new_state, out
 
     def step_batch(self, params, state, frames):
         """Batched step with a *batch-level* detection gate.
