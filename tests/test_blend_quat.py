@@ -96,3 +96,16 @@ class TestQuat:
     def test_axis_angle(self):
         q = quat.from_axis_angle(np.array([0.0, 0.0, 2.0]), TAU / 4)
         np.testing.assert_allclose(q, quat.from_rotation_z(TAU / 4), atol=1e-6)
+
+
+def test_blend_filters_in_linear_light():
+    """Fractional sampling must interpolate in linear light like the
+    reference's sRGB texture views (image.rs:50-53): the midpoint of sRGB
+    0 and 255 is ~188, not 128."""
+    src = np.zeros((1, 2, 4), np.uint8)
+    src[0, 1] = [255, 255, 255, 255]
+    # Upscale 2x1 -> 8x1: middle output pixels sample between the texels.
+    dest = Image.new(8, 1)
+    out = blend(dest, Image(src)).to_numpy()
+    mid = out[0, 3:5, 0].astype(float).mean()
+    assert 170 < mid < 200, mid  # linear-space midpoint ~188

@@ -273,3 +273,15 @@ class TestFaceIdentification:
         ident = FaceIdentifier()
         assert not ident.enroll("nobody", Image.new(64, 64))
         assert len(ident) == 0
+
+
+def test_identify_across_images(sad_linus_full, sad_linus_cropped):
+    """Enroll from the cropped photo, identify in the full photo — the
+    embedding must be stable across different crops of the same person."""
+    from zaru_tpu.face.identify import FaceIdentifier
+
+    ident = FaceIdentifier(threshold=1.0)
+    assert ident.enroll("linus", sad_linus_cropped)
+    match = ident.identify(sad_linus_full)
+    assert match is not None and match.name == "linus", match
+    assert match.distance < 1.0

@@ -38,8 +38,11 @@ def _distances(gallery, query):
 class FaceIdentifier:
     """Enroll faces by name, then identify faces in new images.
 
-    ``threshold`` is the max L2 embedding distance to accept a match
-    (MobileFaceNet embeddings; ~0.8–1.1 separates identities in practice).
+    Embeddings are L2-normalized before matching, so ``threshold`` is a
+    distance on the unit sphere: same-person pairs typically land below
+    ~0.9, different people above ~1.2. (The reference example compares raw
+    unnormalized distances, whose scale depends on the input; normalization
+    makes the threshold portable.)
     """
 
     def __init__(self, threshold: float = 1.0, detector=None, embedder=None):
@@ -55,7 +58,8 @@ class FaceIdentifier:
             return None
         best = max(dets, key=lambda d: d.confidence())
         crop = best.bounding_rect().grow_rel(0.2)
-        return self._embedder.embed(as_view(image).view(crop))
+        emb = self._embedder.embed(as_view(image).view(crop))
+        return emb / np.linalg.norm(emb)
 
     def enroll(self, name: str, image) -> bool:
         """Adds the most confident face in ``image`` under ``name``.
