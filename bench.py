@@ -133,8 +133,8 @@ def child_main(batch: int) -> None:
     retries = int(os.environ.get("ZARU_BENCH_RETRY_ROUNDS", "3"))
     while max(fps_windows) < batch * 400 and retries > 0:
         retries -= 1
-        log(f"[B={batch}] all windows look throttled; cooling down 45s, retrying")
-        time.sleep(45)
+        log(f"[B={batch}] all windows look throttled; cooling down 75s, retrying")
+        time.sleep(75)
         retry = measure_windows()
         log(f"[B={batch}] retry windows fps: " + " ".join(f"{f:.0f}" for f in retry))
         fps_windows += retry
