@@ -5,6 +5,8 @@ from __future__ import annotations
 import enum
 from functools import lru_cache
 
+import jax.numpy as jnp
+
 from ..assets import model_path
 from ..detection import (
     Anchors,
@@ -12,6 +14,7 @@ from ..detection import (
     Detections,
     LayerInfo,
     decode_ssd,
+    decode_ssd_device,
 )
 from ..nn import Cnn, CnnInputShape, ColorMapper, NeuralNetwork
 
@@ -19,9 +22,15 @@ __all__ = ["Keypoint", "PoseNetwork"]
 
 
 class Keypoint(enum.IntEnum):
-    """Keypoints of the pose detector (body/detection.rs:121-127)."""
+    """Keypoints of the pose detector (body/detection.rs:121-127).
+
+    Only HIPS is named by the reference; index 1 is the MediaPipe
+    full-body scale/rotation alignment point above the head, used here to
+    seed the landmark ROI.
+    """
 
     HIPS = 0
+    SCALE_POINT = 1
 
 
 @lru_cache(maxsize=None)
@@ -67,3 +76,21 @@ class PoseNetwork(DetectionNetwork):
             detections,
             num_keypoints=self.NUM_KEYPOINTS,
         )
+
+    def decode_device(self, outputs, thresh: float = 0.5):
+        """Traced decode for fused pipelines. The rotation is the clockwise
+        angle aligning the hips→scale-point vector with +Y (Y-up), matching
+        the hand/face convention (MediaPipe pose alignment points)."""
+        res = self.cnn().input_resolution()
+        boxes, conf, kps = decode_ssd_device(
+            res.width,
+            res.height,
+            jnp.asarray(self._anchors.centers),
+            outputs[0],
+            outputs[1],
+            thresh,
+            self.NUM_KEYPOINTS,
+        )
+        rel = kps[:, Keypoint.HIPS] - kps[:, Keypoint.SCALE_POINT]
+        angles = jnp.arctan2(-rel[..., 0], rel[..., 1])
+        return boxes, conf, kps, angles

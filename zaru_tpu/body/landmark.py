@@ -143,6 +143,20 @@ class _PoseLandmark(LandmarkNetwork):
         estimate.landmarks.set_visibility(sigmoid(screen[:, 3]))
         estimate.landmarks.set_presence(sigmoid(screen[:, 4]))
 
+    def decode_device(self, outputs):
+        """Traced decode for fused pipelines: (coords [39,3], pose flag,
+        visibility [39], presence [39]) — same semantics as extract()."""
+        import jax
+
+        screen = outputs[0].reshape(NUM_TOTAL, 5)
+        flag = outputs[1].reshape(())
+        return (
+            screen[:, 0:3],
+            flag,
+            jax.nn.sigmoid(screen[:, 3]),
+            jax.nn.sigmoid(screen[:, 4]),
+        )
+
 
 class LiteNetwork(_PoseLandmark):
     """pose_landmark_lite.onnx — blob missing from the reference checkout;

@@ -23,6 +23,7 @@ from ..geometry import (
 __all__ = [
     "full_frame_fit",
     "unmap_center_size",
+    "unmap_points",
     "aspect_view_rect",
     "landmarks_to_image",
     "padded_roi",
@@ -48,6 +49,14 @@ def unmap_center_size(box, fit, res):
     center = box[..., 0:2] * scale + top_left
     size = box[..., 2:4] * scale
     return jnp.concatenate([center, size], axis=-1)
+
+
+def unmap_points(xy, fit, res):
+    """Network-input coords → image coords for points ``[..., 2]``
+    (same mapping as :func:`unmap_center_size`'s center)."""
+    scale = fit[2] / np.float32(res.width)
+    top_left = fit[0:2] - fit[2:4] * 0.5
+    return xy * scale + top_left
 
 
 def aspect_view_rect(roi, res):

@@ -97,16 +97,23 @@ class MultiObjectTracker:
         boxes, conf, kps, angles = self.detector.decode_device(
             outputs, self.detection_threshold
         )
-        valid, _conf, avg_box, _kp, avg_angle = nms_average_device(
+        valid, _conf, avg_box, avg_kps, avg_angle = nms_average_device(
             boxes, conf, kps, angles, iou_thresh=self.iou_thresh,
             max_out=self.max_objects,
         )
+        rois = self._candidate_rois(avg_box, avg_kps, avg_angle, fit, res)
+        return rois, valid
 
+    def _candidate_rois(self, avg_box, avg_kps, avg_angle, fit, res):
+        """NMS'd detections → candidate ROIs [S,5] in image coords.
+
+        Default: detection box grown by ``grow_by`` (hand/tracking.rs:143).
+        Subclasses may instead seed from keypoints (e.g. body pose seeds
+        from the hips/scale alignment points)."""
         rect = rect_grow_rel(
             _ops.unmap_center_size(avg_box, fit, res), self.grow_by
         )
-        rois = jnp.concatenate([rect, avg_angle[:, None]], axis=-1)
-        return rois, valid
+        return jnp.concatenate([rect, avg_angle[:, None]], axis=-1)
 
     def _assign(self, state, cand_rois, cand_valid):
         """Assigns non-overlapping candidates to free slots."""
