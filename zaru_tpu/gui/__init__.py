@@ -1,8 +1,17 @@
 """Debug GUI: per-key image windows + app harness.
 
 TPU-native counterpart of reference crates/zaru/src/gui/ (winit/wgpu window
-per key, `gui::show_image`) and the `#[zaru::main]` / `zaru::run` harness
-(lib.rs:69-131, zaru-macros). Backends, selected via ``ZARU_TPU_GUI``:
+per key, ``gui::show_image``) and the ``#[zaru::main]`` / ``zaru::run``
+harness (lib.rs:69-131, zaru-macros).
+
+Architecture mirrors the reference (gui/mod.rs:129-169): :func:`run` keeps
+the *main* thread as the window/event-loop owner and runs the user
+callback on a spawned thread; :func:`show_image` posts frames to the loop,
+which creates one window per key, overlays a live FPS readout in the
+title, and maps window-close / ESC to app shutdown. Without :func:`run`
+(plain library use), ``show_image`` falls back to direct rendering.
+
+Backends, selected via ``ZARU_TPU_GUI``:
 
 - ``cv2``  — OpenCV HighGUI windows (default when $DISPLAY is set)
 - ``file`` — frames written as PNGs under ``ZARU_TPU_GUI_DIR``
@@ -15,13 +24,16 @@ from __future__ import annotations
 import logging
 import os
 import sys
-from pathlib import Path
+import threading
+
+from .loop import EventLoop, make_renderer
 
 log = logging.getLogger(__name__)
 
-__all__ = ["show_image", "run", "main", "init_logger"]
+__all__ = ["show_image", "request_stop", "run", "main", "init_logger"]
 
-_frame_counters: dict[str, int] = {}
+_active_loop: EventLoop | None = None
+_fallback_renderers: dict[tuple, object] = {}
 
 
 def _backend() -> str:
@@ -32,32 +44,30 @@ def _backend() -> str:
 
 
 def show_image(key: str, image) -> None:
-    """Displays an image in the window named ``key``
-    (reference gui/mod.rs:172-182)."""
-    backend = _backend()
-    if backend == "none":
-        return
+    """Displays ``image`` in the window named ``key``
+    (reference gui/mod.rs:172-182). Inside :func:`run`, posts to the event
+    loop; standalone, renders directly."""
     arr = image.to_numpy() if hasattr(image, "to_numpy") else image
+    loop = _active_loop
+    if loop is not None:
+        loop.post(key, arr)
+        return
+    backend = _backend()
+    cache_key = (backend, os.environ.get("ZARU_TPU_GUI_DIR"))
+    renderer = _fallback_renderers.get(cache_key)
+    if renderer is None:
+        renderer = _fallback_renderers[cache_key] = make_renderer(backend)
+    renderer.render(key, arr)
     if backend == "cv2":
-        import cv2
+        renderer.poll()
 
-        bgr = cv2.cvtColor(arr[..., :3], cv2.COLOR_RGB2BGR)
-        cv2.imshow(key, bgr)
-        cv2.waitKey(1)
-        return
-    if backend == "file":
-        import cv2
 
-        out_dir = Path(os.environ.get("ZARU_TPU_GUI_DIR", "/tmp/zaru_tpu_gui")) / key
-        out_dir.mkdir(parents=True, exist_ok=True)
-        n = _frame_counters.get(key, 0)
-        _frame_counters[key] = n + 1
-        cv2.imwrite(
-            str(out_dir / f"{n:06d}.png"),
-            cv2.cvtColor(arr[..., :3], cv2.COLOR_RGB2BGR),
-        )
-        return
-    raise ValueError(f"unknown ZARU_TPU_GUI backend {backend!r}")
+def request_stop(code: int = 0) -> None:
+    """Asks the running event loop to shut the app down (the programmatic
+    analog of closing the window)."""
+    loop = _active_loop
+    if loop is not None:
+        loop.request_stop(code)
 
 
 def init_logger(level=logging.DEBUG) -> None:
@@ -74,25 +84,52 @@ def init_logger(level=logging.DEBUG) -> None:
 
 
 def run(callback) -> None:
-    """Runs an app callback with logging + clean exit-code mapping
-    (reference lib.rs:125-131, termination.rs:15-37)."""
-    init_logger()
-    try:
-        result = callback()
-    except KeyboardInterrupt:
-        sys.exit(130)
-    except Exception:
-        log.exception("app callback failed")
-        sys.exit(1)
-    finally:
-        if _backend() == "cv2":
-            try:
-                import cv2
+    """Runs an app callback under the GUI event loop with logging + clean
+    exit-code mapping (reference lib.rs:125-131, gui/mod.rs:129-169,
+    termination.rs:15-37).
 
-                cv2.destroyAllWindows()
-            except Exception:
-                pass
-    if isinstance(result, int):
+    The callback runs on a worker thread; this (main) thread runs the
+    window event loop until the callback finishes (and all frames are
+    rendered) or the user closes a window / presses ESC.
+    """
+    global _active_loop
+    init_logger()
+    loop = EventLoop(make_renderer(_backend()))
+    _active_loop = loop
+    outcome: dict = {}
+
+    def worker():
+        try:
+            outcome["result"] = callback()
+        except KeyboardInterrupt:
+            outcome["code"] = 130
+        except SystemExit as e:
+            outcome["code"] = e.code if isinstance(e.code, int) else 0
+        except Exception:
+            log.exception("app callback failed")
+            outcome["code"] = 1
+        finally:
+            loop.notify_user_done()
+
+    thread = threading.Thread(target=worker, name="zaru-app", daemon=True)
+    thread.start()
+    try:
+        loop.run()
+    except KeyboardInterrupt:
+        _active_loop = None
+        sys.exit(130)
+    _active_loop = None
+
+    if loop.ui_requested_exit:
+        # Window closed / ESC: terminate like the reference's event-loop
+        # exit (gui/mod.rs:64-76); the app thread is a daemon and dies with
+        # the process.
+        sys.exit(loop.exit_code or 0)
+    thread.join(timeout=5)
+    if "code" in outcome:
+        sys.exit(outcome["code"])
+    result = outcome.get("result")
+    if isinstance(result, int) and result != 0:
         sys.exit(result)
 
 
