@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import enum
 import logging
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Sequence
@@ -64,10 +65,19 @@ class NeuralNetwork:
         self._jit_apply = jax.jit(model.apply)
 
     @staticmethod
-    def load(path_or_bytes, *, output_subset=None, compute_dtype=None) -> "NeuralNetwork":
+    def load(
+        path_or_bytes, *, output_subset=None, compute_dtype=None, layout=None
+    ) -> "NeuralNetwork":
+        """``layout=None`` defaults to ``ZARU_TPU_NHWC`` (1 → NHWC internal
+        activations, the TPU-native conv layout; see onnx/layout.py)."""
+        if layout is None:
+            layout = "NHWC" if os.environ.get("ZARU_TPU_NHWC") == "1" else "NCHW"
         return NeuralNetwork(
             load_model(
-                path_or_bytes, output_subset=output_subset, compute_dtype=compute_dtype
+                path_or_bytes,
+                output_subset=output_subset,
+                compute_dtype=compute_dtype,
+                layout=layout,
             )
         )
 
@@ -107,6 +117,7 @@ class Loader:
         self._src = path_or_bytes
         self._output_subset = None
         self._compute_dtype = None
+        self._layout = None
 
     def with_output_selection(self, names: Sequence[str]) -> "Loader":
         self._output_subset = list(names)
@@ -124,11 +135,18 @@ class Loader:
         self._compute_dtype = jnp.bfloat16
         return self
 
+    def with_layout(self, layout: str) -> "Loader":
+        """Internal activation layout: "NCHW" (ONNX-native) or "NHWC"
+        (TPU-native convs, onnx/layout.py)."""
+        self._layout = layout
+        return self
+
     def load(self) -> NeuralNetwork:
         return NeuralNetwork.load(
             self._src,
             output_subset=self._output_subset,
             compute_dtype=self._compute_dtype,
+            layout=self._layout,
         )
 
 
@@ -150,10 +168,16 @@ class Cnn:
         lo, hi = color_mapper.lo, color_mapper.hi
         layout = shape.value
         model = nn.model
+        apply = model.apply
+        if model.apply_nhwc is not None and shape == CnnInputShape.NCHW:
+            # NHWC-internal model: sample straight to NHWC and skip the
+            # entry transpose entirely — the sampler's natural layout.
+            layout = "NHWC"
+            apply = model.apply_nhwc
 
         def apply_on_view(params, image_u8, rrect):
             tensor = view_to_tensor_core(image_u8, rrect, w, h, lo, hi, layout)
-            return model.apply(params, tensor)
+            return apply(params, tensor)
 
         self._apply_on_view = apply_on_view
         self._jit = jax.jit(apply_on_view)

@@ -41,6 +41,11 @@ class ImportedModel:
     - ``params``: float weights (trainable pytree).
     - ``apply(params, *inputs)``: returns the list of graph outputs.
     - ``input_info`` / ``output_info``: name/shape/dtype of graph I/O.
+    - ``layout``: internal activation layout ("NCHW" = ONNX-native;
+      "NHWC" = TPU-native, see onnx/layout.py). ``apply`` always follows
+      the ONNX contract; with NHWC internals, ``apply_nhwc`` additionally
+      accepts rank-4 image inputs already in NHWC (transpose-free feeding
+      from the sampler).
     """
 
     name: str
@@ -49,6 +54,8 @@ class ImportedModel:
     input_info: list[ValueInfo]
     output_info: list[ValueInfo]
     opset: int
+    layout: str = "NCHW"
+    apply_nhwc: Callable | None = None
 
     @property
     def num_inputs(self) -> int:
@@ -73,6 +80,7 @@ def import_model(
     *,
     output_subset: Sequence[str] | None = None,
     compute_dtype=None,
+    layout: str = "NCHW",
 ) -> ImportedModel:
     """Builds an :class:`ImportedModel` from a parsed :class:`OnnxModel`.
 
@@ -83,7 +91,12 @@ def import_model(
 
     ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the network body in a
     lower precision with f32 MXU accumulation; inputs/outputs stay f32.
+
+    ``layout="NHWC"`` keeps activations physically NHWC between
+    layout-aware ops (TPU-native convolution layout; onnx/layout.py). The
+    graph's I/O contract is unchanged.
     """
+    assert layout in ("NCHW", "NHWC"), layout
     g = model.graph
 
     # Split initializers: float arrays are weights (trainable pytree);
@@ -123,12 +136,17 @@ def import_model(
             f"model {g.name!r} uses unsupported ONNX ops: {unsupported}"
         )
 
-    def apply(p: dict[str, Any], *inputs):
+    use_nhwc = layout == "NHWC"
+    if use_nhwc:
+        from .layout import dispatch_nhwc, to_nchw
+
+    def _apply_impl(p: dict[str, Any], inputs, inputs_are_nhwc: bool):
         if len(inputs) != len(input_info):
             raise ValueError(
                 f"expected {len(input_info)} inputs, got {len(inputs)}"
             )
         env: dict[str, Any] = {}
+        tags: dict[str, bool] = {}
         static_env: dict[str, np.ndarray] = dict(static_init)
         if compute_dtype is not None:
             env.update({k: jnp.asarray(v, compute_dtype) for k, v in p.items()})
@@ -137,6 +155,9 @@ def import_model(
         env.update(static_env)
         for vi, x in zip(input_info, inputs):
             env[vi.name] = x.astype(compute_dtype) if compute_dtype is not None else x
+            tags[vi.name] = bool(
+                inputs_are_nhwc and hasattr(x, "ndim") and x.ndim == 4
+            )
 
         needed = _liveness(nodes, output_names)
         for node in nodes:
@@ -145,18 +166,26 @@ def import_model(
             vals = [env[i] if i else None for i in node.inputs]
             statics = [static_env.get(i) if i else None for i in node.inputs]
             try:
-                result = OPS[node.op_type](node, vals, statics)
+                if use_nhwc:
+                    in_tags = [bool(tags.get(i)) for i in node.inputs]
+                    results, out_tags = dispatch_nhwc(node, vals, statics, in_tags)
+                else:
+                    result = OPS[node.op_type](node, vals, statics)
+                    results = result if isinstance(result, list) else [result]
+                    out_tags = [False] * len(results)
             except Exception as e:
                 raise type(e)(
                     f"while lowering {node.op_type} node {node.name!r}: {e}"
                 ) from e
-            results = result if isinstance(result, list) else [result]
-            for out_name, val in zip(node.outputs, results):
+            for out_name, val, tag in zip(node.outputs, results, out_tags):
                 env[out_name] = val
-                if _is_staticval(val):
+                tags[out_name] = tag
+                if not tag and _is_staticval(val):
                     static_env[out_name] = np.asarray(val)
 
-        outs = [env[n] for n in output_names]
+        outs = [
+            to_nchw(env[n]) if tags.get(n) else env[n] for n in output_names
+        ] if use_nhwc else [env[n] for n in output_names]
         if compute_dtype is not None:
             outs = [
                 o.astype(jnp.float32)
@@ -166,6 +195,15 @@ def import_model(
             ]
         return outs
 
+    def apply(p, *inputs):
+        return _apply_impl(p, inputs, False)
+
+    apply_nhwc = None
+    if use_nhwc:
+
+        def apply_nhwc(p, *inputs):
+            return _apply_impl(p, inputs, True)
+
     return ImportedModel(
         name=g.name,
         params=params,
@@ -173,6 +211,8 @@ def import_model(
         input_info=input_info,
         output_info=output_info,
         opset=model.opset,
+        layout=layout,
+        apply_nhwc=apply_nhwc,
     )
 
 
@@ -192,6 +232,7 @@ def load_model(
     *,
     output_subset: Sequence[str] | None = None,
     compute_dtype=None,
+    layout: str = "NCHW",
 ) -> ImportedModel:
     """Parses and imports an ONNX model from a path or raw bytes."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -201,5 +242,8 @@ def load_model(
             data = f.read()
     model = parse_model(data)
     return import_model(
-        model, output_subset=output_subset, compute_dtype=compute_dtype
+        model,
+        output_subset=output_subset,
+        compute_dtype=compute_dtype,
+        layout=layout,
     )
