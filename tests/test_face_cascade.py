@@ -90,6 +90,40 @@ class TestFusedCascade:
         valid = np.asarray(out["valid"])
         assert valid[0] and valid[1] and valid[3] and not valid[2]
 
+    def test_gated_batch_fast_sampler_matches_exact(self, frame):
+        """The gated serving path (batch gate + MXU fast sampler) must stay
+        within the 1 px parity budget of the exact per-stream path
+        (BASELINE.json) and handle loss/redetect/forced detection."""
+        batch = 2
+        frames = jnp.stack([frame] * batch)
+
+        fast = FaceTracker(smooth=None)  # fast_sampler defaults on
+        exact = FaceTracker(smooth=None, fast_sampler=False)
+        sf = fast.init_state(batch=batch)
+        se = exact.init_state(batch=batch)
+        for _ in range(3):
+            sf, of = fast.run_frames_gated(sf, frames)
+            se, oe = exact.run_frames_gated(se, frames)
+        assert bool(np.asarray(of["valid"]).all())
+        err = np.abs(
+            np.asarray(of["landmarks"])[..., :2]
+            - np.asarray(oe["landmarks"])[..., :2]
+        ).max()
+        assert err < 1.0, f"fast-sampler landmark deviation {err}px"
+
+        # Loss on one stream flips the gate to the full branch and recovers.
+        frames2 = frames.at[1].set(0)
+        sf, of = fast.run_frames_gated(sf, frames2)
+        valid = np.asarray(of["valid"])
+        assert valid[0] and not valid[1]
+        sf, of = fast.run_frames_gated(sf, frames)
+        assert bool(np.asarray(of["valid"]).all())
+
+        # Forced detection (production redetect cadence) keeps tracking.
+        step = jax.jit(lambda p, s, f: fast.step_batch(p, s, f, True))
+        sf, of = step(fast.params, sf, frames)
+        assert bool(np.asarray(of["valid"]).all())
+
     def test_scan_video(self, tracker, frame):
         frames = jnp.stack([frame] * 5)
         state = tracker.init_state()

@@ -1,0 +1,116 @@
+"""Fast MXU rotated sampler (ops/rotated_fast.py) vs the exact sampler.
+
+Strategy: encode each source pixel's coordinates in its channels, sample
+with both paths, decode, and assert the fast path reads a source pixel
+within the documented tolerance of the exact path's choice
+(<= max(1, bbox/M) + 1 px per axis). Runs the Pallas kernel in interpret
+mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zaru_tpu.ops.rotated_fast import PRESCALE_M, rotated_sample_fast
+from zaru_tpu.ops.sampling import sample_view_rgba
+
+
+def coord_image(H, W):
+    """RGB encodes (x, y): r = x & 255, g = (x>>8)*16 + (y>>8), b = y & 255."""
+    x = np.arange(W)[None, :].repeat(H, 0)
+    y = np.arange(H)[:, None].repeat(W, 1)
+    img = np.zeros((H, W, 4), np.uint8)
+    img[..., 0] = x & 255
+    img[..., 1] = (x >> 8) * 16 + (y >> 8)
+    img[..., 2] = y & 255
+    img[..., 3] = 255
+    return img
+
+
+def decode(rgb):
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return (g // 16) * 256 + r, (g % 16) * 256 + b  # (x, y)
+
+
+CASES = [
+    # (cx, cy, w, h, theta)
+    (960, 540, 300, 300, 0.0),
+    (960, 540, 300, 300, 0.25),
+    (700, 400, 450, 380, -0.35),
+    (300, 300, 220, 260, 0.55),   # ~31 deg
+    (1700, 900, 500, 500, 0.1),   # near right/bottom edge -> OOB pixels
+    (420, 320, 640, 480, -0.15),  # bbox > M: coarser tolerance
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_fast_sampler_within_tolerance(case):
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray(case, np.float32)
+    out_w = out_h = 192
+
+    exact = np.asarray(
+        sample_view_rgba(jnp.asarray(img), jnp.asarray(rrect), out_w, out_h)
+    )
+    fast = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]),
+            jnp.asarray(rrect[None]),
+            out_w,
+            out_h,
+            0.0,
+            255.0,
+            interpret=True,
+        )[0]
+    ).round().astype(np.int64)
+
+    bbox = (
+        abs(case[2] * np.cos(case[4])) + abs(case[3] * np.sin(case[4])) + 2,
+        abs(case[2] * np.sin(case[4])) + abs(case[3] * np.cos(case[4])) + 2,
+    )
+    fits = max(bbox) <= PRESCALE_M
+    # Integer-stride subsampling: index error <= ceil(stride/2).
+    stride = int(np.ceil(max(bbox) / PRESCALE_M))
+    tol = 0.0 if fits else np.ceil(stride / 2)
+
+    ex_x, ex_y = decode(exact)
+    fa_x, fa_y = decode(fast)
+    # Compare only where both paths are in-bounds (alpha=255 marks valid
+    # for the exact path; fast OOB reads black which decodes to (0, 0)).
+    valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
+    assert valid.mean() > 0.5, "degenerate case: too few valid pixels"
+    dx = np.abs(ex_x - fa_x)[valid]
+    dy = np.abs(ex_y - fa_y)[valid]
+    # Views whose bbox fits the intermediate sample BIT-EXACTLY; larger
+    # views quantize by ~bbox/M px.
+    assert dx.max() <= tol, (dx.max(), tol)
+    assert dy.max() <= tol, (dy.max(), tol)
+    if fits:
+        assert (fast[valid] == exact[valid][..., :3]).all()
+    # And where the exact path is OOB (black), the fast path is black too
+    # (within the same boundary tolerance band: interior OOB only).
+    oob = exact[..., 3] == 0
+    if oob.any():
+        assert (fast[oob].sum(-1) == 0).mean() > 0.95
+
+
+def test_fast_sampler_batched_shapes():
+    img = coord_image(270, 480)
+    rrects = np.asarray(
+        [[240, 135, 150, 150, 0.2], [100, 100, 80, 120, -0.1]], np.float32
+    )
+    out = rotated_sample_fast(
+        jnp.asarray(np.stack([img, img])),
+        jnp.asarray(rrects),
+        192,
+        192,
+        0.0,
+        1.0,
+        interpret=True,
+    )
+    assert out.shape == (2, 192, 192, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.max(out)) <= 1.0 and float(jnp.min(out)) >= 0.0

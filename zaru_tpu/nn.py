@@ -179,7 +179,19 @@ class Cnn:
             tensor = view_to_tensor_core(image_u8, rrect, w, h, lo, hi, layout)
             return apply(params, tensor)
 
+        def sample_views_fast(images_u8, rrects):
+            from .ops.rotated_fast import rotated_sample_fast
+
+            return rotated_sample_fast(images_u8, rrects, w, h, lo, hi)
+
+        def apply_tensor_hwc(params, t_hwc):
+            if model.apply_nhwc is not None:
+                return model.apply_nhwc(params, t_hwc[None])
+            return model.apply(params, jnp.transpose(t_hwc, (2, 0, 1))[None])
+
         self._apply_on_view = apply_on_view
+        self._sample_views_fast = sample_views_fast
+        self._apply_tensor_hwc = apply_tensor_hwc
         self._jit = jax.jit(apply_on_view)
 
     @staticmethod
@@ -211,6 +223,18 @@ class Cnn:
         """Traceable (params, image, view-rect) → outputs. Use inside fused
         jitted pipelines; vmap over leading dims for multi-stream batching."""
         return self._apply_on_view(params, image_u8, rrect)
+
+    def sample_views_fast(self, images_u8, rrects):
+        """Batched MXU-based rotated-view sampling (ops/rotated_fast.py):
+        ``[B,H,W,4] u8`` + ``[B,5]`` rects → ``[B,h,w,3] f32`` color-mapped
+        network inputs. Sampling is within ~1 source px of the exact
+        per-stream path — the fused serving-path fast lane."""
+        return self._sample_views_fast(images_u8, rrects)
+
+    def apply_tensor_hwc(self, params, t_hwc):
+        """Applies the network to one pre-sampled ``[h, w, 3]`` f32 input
+        (NHWC feeds NHWC-internal models transpose-free)."""
+        return self._apply_tensor_hwc(params, t_hwc)
 
     def estimate(self, image) -> list:
         """Runs the network on an image or view (nn/mod.rs:118-126).

@@ -1,0 +1,271 @@
+"""MXU-based rotated-ROI sampler — the serving-path fast lane.
+
+The exact sampler (ops/sampling.py) expresses rotated-view sampling as an
+XLA pointwise 2-D gather. On TPU that lowers to per-element accesses at
+~13 ns/element: at batch 128 the 192x192 landmark crop costs ~61 ms/step —
+87% of the whole fused-cascade step (see BENCHMARKS.md). This module
+replaces it for the fused serving path with a formulation made of dense
+TPU-native ops only (takes with small index vectors, one-hot MXU matmuls,
+sublane mask-reductions), no pointwise gathers:
+
+1. **Prescale** (XLA): the rotated view's axis-aligned bounding box is
+   NN-resampled to a static planar intermediate ``[3, M, M]`` with two
+   1-D row/column takes (index vectors of length M — cheap, unlike
+   per-pixel index matrices). OOB pixels become 0 like the exact sampler.
+2. **Rotate** (Pallas): for each block of 8 output rows, DMA a P-row band
+   of the intermediate into VMEM, select source *columns* with a one-hot
+   MXU matmul ``band[P,M] @ onehot[M,1536]`` and source *rows* with a
+   sublane mask-reduction — both dense, both exact selections.
+
+Accuracy: selection is exact; the approximation is in the index math —
+the exact path's intermediate rounding (view-grid quantization +
+prescale quantization) is collapsed into one affine map, so each output
+pixel reads a source pixel within ~``max(1, bbox/M)`` px of the exact
+path's choice. For typical ROIs (bbox <= M) that is <=1 source pixel, and
+landmark outputs stay within the <=1 px parity budget (BASELINE.json);
+tests/test_rotated_fast.py pins this against the exact sampler. Views
+rotated beyond ``arcsin((P-8)/out_h / scale)`` (~38 deg at scale 1,
+P=128) fall outside the banded window and read black — callers keep the
+exact path when that matters (reference semantics: crates/zaru/src/
+image/mod.rs:224-247 + nn/mod.rs:54-80).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rotated_sample_fast", "PRESCALE_M", "BAND_P"]
+
+PRESCALE_M = 512  # intermediate side; sampling is bit-exact for bbox <= M
+BAND_P = 128      # band rows per 8-output-row block (rotation envelope)
+ROWS_PER_BLOCK = 8
+
+
+def _rha(x):
+    """round-half-away for the non-negative index range (floor(x+0.5));
+    negatives differ only where the result is clipped/blacked anyway."""
+    return jnp.floor(x + 0.5)
+
+
+def _prescale_planar(image_u8, rrect, M: int):
+    """NN-resample the rotated view's bounding box to planar [3, M, M] u8.
+
+    Returns (planar, left, top, sx, sy): the sample grid is
+    ``x(q) = rha(left + (q+0.5)*sx - 0.5)`` (and same for y), with OOB
+    pixels zeroed (Color::NONE semantics, image/mod.rs:239-247).
+    """
+    H, W = image_u8.shape[0], image_u8.shape[1]
+    cx, cy, w, h, th = (rrect[i] for i in range(5))
+    c, s = jnp.abs(jnp.cos(th)), jnp.abs(jnp.sin(th))
+    bw = w * c + h * s + 2.0
+    bh = w * s + h * c + 2.0
+    # INTEGER strides only: the "prescale" is a strided integer-offset
+    # crop, so every intermediate pixel is a true image pixel on a
+    # stride-sx grid. Views with bbox <= M get stride 1 (bit-exact
+    # sampling); larger views subsample with index error <= ceil(sx/2)
+    # (1 px up to bbox = 2M) — never interpolated/blended values.
+    sx = jnp.ceil(jnp.maximum(bw / np.float32(M), 1.0))
+    sy = jnp.ceil(jnp.maximum(bh / np.float32(M), 1.0))
+    left = cx - sx * np.float32(M) * 0.5
+    top = cy - sy * np.float32(M) * 0.5
+    # Snap the window origin to the half-integer grid: with integer sx the
+    # sample positions become xs(q) = floor(left+0.5) + sx*q exactly.
+    left = jnp.floor(left + 0.5) - 0.5
+    top = jnp.floor(top + 0.5) - 0.5
+
+    q = jnp.arange(M, dtype=jnp.float32) + 0.5
+    xs = _rha(left + q * sx - 0.5)
+    ys = _rha(top + q * sy - 0.5)
+    # OOB indices sample 0 via take's fill mode (Color::NONE semantics).
+    # NB: the sentinel must be >= size — jnp.take wraps NEGATIVE indices
+    # (numpy semantics) before fill applies. Columns first (narrower
+    # intermediate: [H, M, 4] vs [M, W, 4]).
+    xi = jnp.where((xs >= 0) & (xs < W), xs, np.float32(W)).astype(jnp.int32)
+    yi = jnp.where((ys >= 0) & (ys < H), ys, np.float32(H)).astype(jnp.int32)
+    cols = jnp.take(image_u8, xi, axis=1, mode="fill", fill_value=0)
+    patch = jnp.take(cols, yi, axis=0, mode="fill", fill_value=0)  # [M, M, 4]
+    planar = jnp.transpose(patch[..., :3], (2, 0, 1))  # [3, M, M]
+    return planar, left, top, sx, sy
+
+
+def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
+    """Per-stream scalars for the kernel's index math.
+
+    The kernel reproduces the exact path's TWO-stage rounding
+    (ops/sampling._view_grid): xv = rha(j/out_w * W), pv = xv + 0.5 ->
+    rrect_transform_out -> source = rha(root - 0.5) = floor(root), then
+    maps into the prescale grid q = (root - 0.5 - left)/s - 0.5 (rounded
+    once more by the kernel). At scale 1 with the snapped window origin
+    this equals floor(root) - crop_offset — bit-exact.
+    """
+    cx, cy, w, h, th = (rrect[i] for i in range(5))
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    # Scalars ordered to let the kernel replicate the exact path's f32
+    # operation order (sampling._view_grid + geometry.rrect_transform_out):
+    # px = (xv + 0.5) - w/2; root = (R@p + size/2) + top_left.
+    return jnp.stack(
+        [
+            w,                         # 0
+            h,                         # 1
+            cth,                       # 2
+            sth,                       # 3
+            w * 0.5,                   # 4: half size
+            h * 0.5,                   # 5
+            cx - w * 0.5,              # 6: top-left
+            cy - h * 0.5,              # 7
+            (-0.5 - left) / sx - 0.5,  # 8: additive part of q = root/s + .
+            (-0.5 - top) / sy - 0.5,   # 9
+            1.0 / sx,                  # 10
+            1.0 / sy,                  # 11
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+
+
+def _rotate_kernel(coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out_h):
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    lanes = ROWS_PER_BLOCK * out_w
+
+    w = coef_ref[b, 0]
+    h = coef_ref[b, 1]
+    cth = coef_ref[b, 2]
+    sth = coef_ref[b, 3]
+    whalf = coef_ref[b, 4]
+    hhalf = coef_ref[b, 5]
+    tlx = coef_ref[b, 6]
+    tly = coef_ref[b, 7]
+    qx0 = coef_ref[b, 8]
+    qy0 = coef_ref[b, 9]
+    inv_sx = coef_ref[b, 10]
+    inv_sy = coef_ref[b, 11]
+
+    def q_of(jf, kf, rounded: bool):
+        """Index map replicating the exact path's f32 op order
+        (sampling._view_grid + rrect_transform_out), then mapped into the
+        prescale grid (one residual round happens in the caller)."""
+        xv = (jf / np.float32(out_w)) * w
+        yv = (kf / np.float32(out_h)) * h
+        if rounded:
+            xv = jnp.floor(xv + 0.5)
+            yv = jnp.floor(yv + 0.5)
+        px = (xv + 0.5) - whalf
+        py = (yv + 0.5) - hhalf
+        fx = (cth * px - sth * py + whalf) + tlx
+        fy = (sth * px + cth * py + hhalf) + tly
+        return fx * inv_sx + qx0, fy * inv_sy + qy0
+
+    k0 = (blk * ROWS_PER_BLOCK).astype(jnp.float32)
+    # Band start: min y over the block's corners, with 4 rows of slack.
+    corners = [
+        q_of(jc, k0 + kc, rounded=False)[1]
+        for jc in (0.0, float(out_w - 1))
+        for kc in (0.0, float(ROWS_PER_BLOCK - 1))
+    ]
+    ymin = jnp.minimum(jnp.minimum(corners[0], corners[1]),
+                       jnp.minimum(corners[2], corners[3]))
+    # u8 tiling is (32, 128): dynamic sublane DMA offsets must be
+    # 32-aligned, so the band start rounds down (eating <=31 rows of the
+    # P-row envelope).
+    start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
+    start = pl.multiple_of((start // 32) * 32, 32)
+
+    copies = [
+        pltpu.make_async_copy(
+            planar_ref.at[b, ch, pl.ds(start, P), :], band.at[ch], sem.at[ch]
+        )
+        for ch in range(3)
+    ]
+    for cp in copies:
+        cp.start()
+
+    t = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    jj = (t % out_w).astype(jnp.float32)
+    kk = (t // out_w).astype(jnp.float32) + k0
+    qx, qy = q_of(jj, kk, rounded=True)
+    xi = jnp.floor(qx + 0.5).astype(jnp.int32)          # [1, lanes]
+    yrel = jnp.floor(qy + 0.5).astype(jnp.int32) - start
+    # Out-of-range columns/rows select nothing -> sample 0 (black), same
+    # as the OOB rule; in-range selections are exact one-hots.
+    iota_m = lax.broadcasted_iota(jnp.int32, (M, lanes), 0)
+    ohx = (iota_m == xi).astype(jnp.bfloat16)            # [M, lanes]
+    iota_p = lax.broadcasted_iota(jnp.int32, (P, lanes), 0)
+    my = (iota_p == yrel).astype(jnp.float32)            # [P, lanes]
+
+    outs = []
+    for ch in range(3):
+        copies[ch].wait()
+        band_bf = band[ch].astype(jnp.int32).astype(jnp.bfloat16)  # [P, M]
+        sel = jnp.dot(band_bf, ohx, preferred_element_type=jnp.float32)
+        outs.append(jnp.sum(sel * my, axis=0, keepdims=True))      # [1, lanes]
+    out_ref[0, 0, :, :] = jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_w", "out_h", "lo", "hi", "interpret")
+)
+def rotated_sample_fast(
+    image_u8,
+    rrect,
+    out_w: int,
+    out_h: int,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    *,
+    interpret: bool = False,
+):
+    """Fast rotated-view sample + color map.
+
+    ``image_u8``: ``[B, H, W, 4] u8``; ``rrect``: ``[B, 5] f32``.
+    Returns ``[B, out_h, out_w, 3] f32`` (NHWC — feed NHWC-internal models
+    transpose-free via ``ImportedModel.apply_nhwc``).
+    """
+    assert out_h % ROWS_PER_BLOCK == 0
+    # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
+    # runs in interpreter mode, which jit compiles to plain XLA.
+    interpret = interpret or jax.default_backend() != "tpu"
+    M, P = PRESCALE_M, BAND_P
+    B = image_u8.shape[0]
+    lanes = ROWS_PER_BLOCK * out_w
+    n_blocks = out_h // ROWS_PER_BLOCK
+
+    def one(img, rr):
+        planar, left, top, sx, sy = _prescale_planar(img, rr, M)
+        coefs = _sampler_coefs(rr, out_w, out_h, left, top, sx, sy)
+        return planar, coefs
+
+    planar, coefs = jax.vmap(one)(image_u8, rrect)
+
+    kernel = functools.partial(_rotate_kernel, M=M, P=P, out_w=out_w, out_h=out_h)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [B, 8]
+            pl.BlockSpec(memory_space=pl.ANY),  # planar [B, 3, M, M]
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 3, lanes), lambda b, blk: (b, blk, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_blocks, 3, lanes), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, P, M), jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(coefs, planar)
+
+    adjust = np.float32((hi - lo) / 255.0)
+    out = out * adjust + np.float32(lo)
+    # [B, n_blocks, 3, 8*out_w] -> [B, out_h, out_w, 3]
+    out = out.reshape(B, n_blocks, 3, ROWS_PER_BLOCK, out_w)
+    return jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(B, out_h, out_w, 3)

@@ -60,6 +60,7 @@ class FaceTracker:
         smooth: OneEuroFilter | None = OneEuroFilter(min_cutoff=1.0, beta=0.5),
         frame_rate: float = 30.0,
         compute_dtype=None,
+        fast_sampler: bool = True,
     ):
         self.detector = detector or ShortRangeNetwork(compute_dtype=compute_dtype)
         self.landmarker = landmarker or FaceMeshV1(compute_dtype=compute_dtype)
@@ -69,6 +70,7 @@ class FaceTracker:
         self.loss_threshold = loss_threshold
         self.roi_padding = roi_padding
         self.smooth = smooth
+        self.fast_sampler = fast_sampler
         self.elapsed = 1.0 / frame_rate
         self.num_landmarks = len(self.landmarker.init_estimate().landmarks_mut())
 
@@ -143,8 +145,36 @@ class FaceTracker:
         """One landmark-tracking step (landmark.rs:463-501), traced."""
         res = self.lm_cnn.input_resolution()
         view_rect = _ops.aspect_view_rect(roi, res)
-
         outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
+        return self._track_tail(state, outputs, view_rect, roi, seeded)
+
+    def _track_batch(self, params, state, frames, rois, seeded):
+        """Batched track step over a stream axis.
+
+        With ``fast_sampler`` (default), the rotated-ROI crops for ALL
+        streams come from one MXU-based sampler call
+        (ops/rotated_fast.py) instead of a per-stream XLA gather — the
+        gather is the fused cascade's dominant cost (~61 ms/step at batch
+        128 vs ~18 ms fast; BENCHMARKS.md). Sampling is within ~1 source
+        px of the exact path; set ``fast_sampler=False`` for bitwise
+        sampling parity.
+        """
+        res = self.lm_cnn.input_resolution()
+        view_rects = jax.vmap(lambda r: _ops.aspect_view_rect(r, res))(rois)
+        if self.fast_sampler:
+            xs = self.lm_cnn.sample_views_fast(frames, view_rects)
+            outputs = jax.vmap(
+                lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t)
+            )(xs)
+        else:
+            outputs = jax.vmap(
+                lambda f, vr: self.lm_cnn.apply_on_view(params["lm"], f, vr)
+            )(frames, view_rects)
+        return jax.vmap(self._track_tail)(state, outputs, view_rects, rois, seeded)
+
+    def _track_tail(self, state, outputs, view_rect, roi, seeded):
+        """Decode → smooth → unmap → ROI update (landmark.rs:463-501)."""
+        res = self.lm_cnn.input_resolution()
         # FaceMeshV2 returns an extra tongueOut value; ignore trailing extras.
         coords, conf, *_extras = self.landmarker.decode_device(outputs)
         coords = coords[: self.num_landmarks]
@@ -218,7 +248,7 @@ class FaceTracker:
         out = dict(out, valid=out["valid"] & found)
         return new_state, out
 
-    def step_batch(self, params, state, frames):
+    def step_batch(self, params, state, frames, force_detect=False):
         """Batched step with a *batch-level* detection gate.
 
         Under ``vmap``, per-stream ``lax.cond`` lowers to a select that
@@ -228,18 +258,37 @@ class FaceTracker:
         landmark-only, and a detection pass (for every stream) runs only on
         frames where some stream is lost. This trades a little redundant
         detection (all streams redetect together) for skipping the detector
-        entirely in the common case.
+        entirely in the common case. Both branches track via
+        :meth:`_track_batch` (batched fast sampler).
+
+        ``force_detect`` (traced bool) forces the detection branch — the
+        production redetect cadence (hand/tracking.rs:41).
         """
-        all_tracking = jnp.all(state["tracking"])
+        all_tracking = jnp.all(state["tracking"]) & jnp.logical_not(force_detect)
+        no_seed = jnp.zeros_like(state["tracking"])
 
         def track_only(_):
-            def one(st, frame):
-                return self._track(params, st, frame, st["roi"], jnp.asarray(False))
-
-            return jax.vmap(one, in_axes=(0, 0))(state, frames)
+            return self._track_batch(
+                params, state, frames, state["roi"], no_seed
+            )
 
         def full(_):
-            return jax.vmap(self.step, in_axes=(None, 0, 0))(params, state, frames)
+            def pick_roi(roi, tracking, frame):
+                return lax.cond(
+                    tracking,
+                    lambda _: (roi, jnp.asarray(True)),
+                    lambda _: self._detect_roi(params, frame),
+                    None,
+                )
+
+            rois, founds = jax.vmap(pick_roi)(
+                state["roi"], state["tracking"], frames
+            )
+            seeded = ~state["tracking"]
+            new_state, out = self._track_batch(params, state, frames, rois, seeded)
+            new_state = dict(new_state, tracking=new_state["tracking"] & founds)
+            out = dict(out, valid=out["valid"] & founds)
+            return new_state, out
 
         return lax.cond(all_tracking, track_only, full, None)
 
