@@ -3,13 +3,16 @@
 Quantifies the batch-level detection-gate tradeoff documented in
 pipeline/face_cascade.py step_batch (round-1 VERDICT weak #3 / next #8):
 
-- ``vmap``          — per-stream lax.cond (both branch bodies execute
-                      under vmap; detection cost paid every frame),
-- ``gated``         — batch-scalar gate (landmark-only while ALL streams
-                      track; full detect+track frame otherwise),
-- ``gated-worst``   — gated path with one stream permanently lost
-                      (detection for all streams every frame),
-- ``landmark-only`` — lower bound (no detection ever).
+- ``vmap``           — per-stream lax.cond over exact sampling (both
+                       branch bodies execute under vmap; detection cost
+                       paid every frame) — the pre-round-2 architecture,
+- ``gated``          — batch-scalar gate + MXU fast sampler (landmark-only
+                       while ALL streams track; full frame otherwise),
+- ``gated-worst``    — gated path with one stream permanently lost
+                       (detection for all streams every frame),
+- ``landmark-only``  — lower bound of the fast path (no detection ever),
+- ``landmark-exact`` — same but per-stream exact gather (the sampler
+                       tradeoff in isolation).
 
 Usage: python examples/gatebench.py [batch ...]   (default: 8 128)
 Writes one result line per (batch, path): steady-state frames/sec over a
@@ -77,6 +80,10 @@ def main():
             return run, init
 
         def landmark_only_step(params, st, frames):
+            seeded = jnp.zeros_like(st["tracking"])
+            return tracker._track_batch(params, st, frames, st["roi"], seeded)
+
+        def landmark_only_exact_step(params, st, frames):
             def one(s, f):
                 return tracker._track(params, s, f, s["roi"], jnp.asarray(False))
 
@@ -95,6 +102,7 @@ def main():
             "gated": scan_of(tracker.step_batch, state),
             "gated-worst": scan_of(gated_worst_step, lost_state),
             "landmark-only": scan_of(landmark_only_step, state),
+            "landmark-exact": scan_of(landmark_only_exact_step, state),
         }
 
         for name, (run, init) in paths.items():
