@@ -155,3 +155,19 @@ class TestFusedBodyCascade:
         np.testing.assert_allclose(roi[2:4], [2 * 80 * (320 / 224) * 1.25] * 2,
                                    atol=0.05)
         assert abs(roi[4]) < 1e-5
+
+
+class TestGatedBodyCascade:
+    def test_gated_batched(self, stub_env):
+        """Batch gate + MXU fast sampling over streams x slots."""
+        from zaru_tpu.pipeline import BodyTracker
+
+        tracker = BodyTracker(max_bodies=2)
+        state = tracker.init_state(batch=2)
+        frames = jnp.stack([_frame(), _frame()])
+        for _ in range(3):
+            state, out = tracker.run_frames_gated(state, frames)
+        valid = np.asarray(out["valid"])
+        assert valid[:, 0].all() and not valid[:, 1].any()
+        assert out["pose_landmarks"].shape == (2, 2, 33, 3)
+        assert np.allclose(np.asarray(out["pose_flag"])[:, 0], 0.95, atol=1e-3)

@@ -83,3 +83,16 @@ class TestFusedHandStep:
         state = tracker.init_state(batch=2)
         state, out = tracker.run_frames(state, frames)
         assert out["landmarks"].shape == (2, 3, 21, 3)
+
+    def test_gated_batched(self, tracker):
+        """Batch-level gate + MXU fast sampling (step_batch): fixed shapes,
+        output renames applied, frame counters advance."""
+        rng = np.random.default_rng(2)
+        frames = jnp.asarray(rng.integers(0, 256, (2, 120, 160, 4), np.uint8))
+        state = tracker.init_state(batch=2)
+        for i in range(2):
+            state, out = tracker.run_frames_gated(state, frames)
+            assert np.asarray(state["frame"]).tolist() == [i + 1, i + 1]
+        assert out["landmarks"].shape == (2, 3, 21, 3)
+        assert "presence" in out and "handedness" in out
+        assert "confidence" not in out

@@ -224,16 +224,21 @@ def rotated_sample_fast(
 ):
     """Fast rotated-view sample + color map.
 
-    ``image_u8``: ``[B, H, W, 4] u8``; ``rrect``: ``[B, 5] f32``.
-    Returns ``[B, out_h, out_w, 3] f32`` (NHWC — feed NHWC-internal models
+    ``image_u8``: ``[B, H, W, 4] u8``; ``rrect``: ``[B, ..., 5] f32`` —
+    extra middle dims (e.g. tracker slots ``[B, S, 5]``) sample multiple
+    views per frame without duplicating the frame. Returns
+    ``[B, ..., out_h, out_w, 3] f32`` (NHWC — feed NHWC-internal models
     transpose-free via ``ImportedModel.apply_nhwc``).
     """
     assert out_h % ROWS_PER_BLOCK == 0
+    assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
     # runs in interpreter mode, which jit compiles to plain XLA.
     interpret = interpret or jax.default_backend() != "tpu"
     M, P = PRESCALE_M, BAND_P
     B = image_u8.shape[0]
+    slot_dims = rrect.shape[1:-1]
+    rrect_flat = rrect.reshape(B, -1, 5)
     lanes = ROWS_PER_BLOCK * out_w
     n_blocks = out_h // ROWS_PER_BLOCK
 
@@ -242,21 +247,28 @@ def rotated_sample_fast(
         coefs = _sampler_coefs(rr, out_w, out_h, left, top, sx, sy)
         return planar, coefs
 
-    planar, coefs = jax.vmap(one)(image_u8, rrect)
+    # Inner vmap over slots shares the frame (batched gather indices, no
+    # frame duplication); outer vmap over streams.
+    planar, coefs = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(
+        image_u8, rrect_flat
+    )
+    N = B * rrect_flat.shape[1]
+    planar = planar.reshape(N, 3, M, M)
+    coefs = coefs.reshape(N, coefs.shape[-1])
 
     kernel = functools.partial(_rotate_kernel, M=M, P=P, out_w=out_w, out_h=out_h)
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_blocks),
+        grid=(N, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [B, 8]
-            pl.BlockSpec(memory_space=pl.ANY),  # planar [B, 3, M, M]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
+            pl.BlockSpec(memory_space=pl.ANY),  # planar [N, 3, M, M]
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 3, lanes), lambda b, blk: (b, blk, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_blocks, 3, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, n_blocks, 3, lanes), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((3, P, M), jnp.uint8),
             pltpu.SemaphoreType.DMA((3,)),
@@ -266,6 +278,7 @@ def rotated_sample_fast(
 
     adjust = np.float32((hi - lo) / 255.0)
     out = out * adjust + np.float32(lo)
-    # [B, n_blocks, 3, 8*out_w] -> [B, out_h, out_w, 3]
-    out = out.reshape(B, n_blocks, 3, ROWS_PER_BLOCK, out_w)
-    return jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(B, out_h, out_w, 3)
+    # [N, n_blocks, 3, 8*out_w] -> [B, ..., out_h, out_w, 3]
+    out = out.reshape(N, n_blocks, 3, ROWS_PER_BLOCK, out_w)
+    out = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(N, out_h, out_w, 3)
+    return out.reshape((B, *slot_dims, out_h, out_w, 3))

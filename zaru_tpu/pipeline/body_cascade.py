@@ -88,8 +88,7 @@ class BodyTracker(MultiObjectTracker):
         )
         return jnp.concatenate([rect, avg_angle[:, None]], axis=-1)
 
-    def step(self, params, state, frame):
-        new_state, out = super().step(params, state, frame)
+    def _finalize_out(self, out):
         # Body-specific output names + pose/aux split
         # (body/landmark.rs:20-78).
         out = dict(out)
@@ -97,4 +96,4 @@ class BodyTracker(MultiObjectTracker):
         out["visibility"] = out.pop("extra0")
         out["presence"] = out.pop("extra1")
         out["pose_landmarks"] = out["landmarks"][..., :NUM_POSE, :]
-        return new_state, out
+        return out

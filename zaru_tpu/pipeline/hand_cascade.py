@@ -65,11 +65,10 @@ class MultiHandTracker(MultiObjectTracker):
             iou_thresh=iou_thresh,
         )
 
-    def step(self, params, state, frame):
-        new_state, out = super().step(params, state, frame)
+    def _finalize_out(self, out):
         # Hand-specific output names: presence + handedness
         # (hand/landmark.rs:17-23).
         out = dict(out)
         out["presence"] = out.pop("confidence")
         out["handedness"] = out.pop("extra0")
-        return new_state, out
+        return out

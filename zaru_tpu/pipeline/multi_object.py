@@ -68,6 +68,7 @@ class MultiObjectTracker:
         self.params = {"det": self.det_cnn.params, "lm": self.lm_cnn.params}
         self._step = jax.jit(self.step)
         self._step_batch = jax.jit(jax.vmap(self.step, in_axes=(None, 0, 0)))
+        self._step_batch_gated = jax.jit(self.step_batch)
 
     # Back-compat alias used by existing tests/code.
     @property
@@ -142,18 +143,37 @@ class MultiObjectTracker:
         res = self.lm_cnn.input_resolution()
         view_rect = _ops.aspect_view_rect(roi, res)
         outputs = self.lm_cnn.apply_on_view(params["lm"], frame, view_rect)
-        coords, confidence, *extras = self.landmarker.decode_device(outputs)
+        return self._track_slot_tail(outputs, view_rect, roi)
 
+    def _track_slot_tail(self, outputs, view_rect, roi):
+        res = self.lm_cnn.input_resolution()
+        coords, confidence, *extras = self.landmarker.decode_device(outputs)
         xy_view, pos = _ops.landmarks_to_image(coords, view_rect, res)
         angle = roi[4] + self.residual_angle(xy_view)
         new_roi = _ops.padded_roi(pos[:, 0:2], angle, self.roi_padding)
         return new_roi, confidence, tuple(extras), pos
 
+    def _track_slots_batch(self, params, frames, rois):
+        """All slots of all streams in ONE fast-sampled landmark pass:
+        ``frames [B,H,W,4]``, ``rois [B,S,5]`` — the MXU sampler
+        (ops/rotated_fast.py) reads every slot view from the shared frame
+        without duplicating it."""
+        res = self.lm_cnn.input_resolution()
+        view_rects = jax.vmap(
+            jax.vmap(lambda r: _ops.aspect_view_rect(r, res))
+        )(rois)
+        xs = self.lm_cnn.sample_views_fast(frames, view_rects)  # [B,S,h,w,3]
+        outputs = jax.vmap(
+            jax.vmap(lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t))
+        )(xs)
+        return jax.vmap(jax.vmap(self._track_slot_tail))(
+            outputs, view_rects, rois
+        )
+
     # --- the fused step ------------------------------------------------------
 
-    def step(self, params, state, frame):
-        """One frame; fixed-shape outputs: landmarks [S,N,3],
-        confidence [S], extras, rois [S,5], valid [S]."""
+    def _roi_phase(self, params, state, frame):
+        """Scheduled detection + slot assignment (per stream)."""
         do_detect = (~jnp.any(state["active"])) | (
             state["frame"] % self.detect_interval == 0
         )
@@ -165,12 +185,10 @@ class MultiObjectTracker:
         def without_detection(_):
             return state["rois"], state["active"]
 
-        rois, active = lax.cond(do_detect, with_detection, without_detection, None)
+        return lax.cond(do_detect, with_detection, without_detection, None)
 
-        new_rois, confidence, extras, pos = jax.vmap(
-            lambda r: self._track_slot(params, frame, r)
-        )(rois)
-
+    def _post(self, state, rois, active, new_rois, confidence, extras, pos):
+        """Presence gating, overlap culling, fixed-shape outputs."""
         keep = active & (confidence >= self.presence_threshold)
         rois = jnp.where(keep[:, None], new_rois, rois)
 
@@ -194,7 +212,51 @@ class MultiObjectTracker:
         }
         for i, ex in enumerate(extras):
             out[f"extra{i}"] = ex * z.reshape(z.shape + (1,) * (ex.ndim - 1))
-        return new_state, out
+        return new_state, self._finalize_out(out)
+
+    def _finalize_out(self, out: dict) -> dict:
+        """Domain-specific output renames (overridden by subclasses)."""
+        return out
+
+    def step(self, params, state, frame):
+        """One frame; fixed-shape outputs: landmarks [S,N,3],
+        confidence [S], extras, rois [S,5], valid [S]."""
+        rois, active = self._roi_phase(params, state, frame)
+        new_rois, confidence, extras, pos = jax.vmap(
+            lambda r: self._track_slot(params, frame, r)
+        )(rois)
+        return self._post(state, rois, active, new_rois, confidence, extras, pos)
+
+    def step_batch(self, params, state, frames, force_detect=False):
+        """Batched step over a stream axis with a batch-level detection
+        gate (the analog of FaceTracker.step_batch): while every stream is
+        tracking and no stream hits its redetect interval, only the
+        batched fast-sampled landmark pass runs; otherwise the per-stream
+        ROI phase executes under vmap. State carries a leading [B] axis
+        (``init_state(batch=B)``)."""
+        any_detect = jnp.logical_or(
+            force_detect,
+            jnp.any(
+                (~jnp.any(state["active"], axis=1))
+                | (state["frame"] % self.detect_interval == 0)
+            ),
+        )
+
+        def roi_full(_):
+            return jax.vmap(lambda st, fr: self._roi_phase(params, st, fr))(
+                state, frames
+            )
+
+        def roi_keep(_):
+            return state["rois"], state["active"]
+
+        rois, active = lax.cond(any_detect, roi_full, roi_keep, None)
+        new_rois, confidence, extras, pos = self._track_slots_batch(
+            params, frames, rois
+        )
+        return jax.vmap(self._post)(
+            state, rois, active, new_rois, confidence, extras, pos
+        )
 
     # --- host API -------------------------------------------------------------
 
@@ -203,3 +265,8 @@ class MultiObjectTracker:
 
     def run_frames(self, state, frames):
         return self._step_batch(self.params, state, frames)
+
+    def run_frames_gated(self, state, frames):
+        """Batched step with the batch-level gate + MXU fast sampling —
+        the fastest multi-stream serving path."""
+        return self._step_batch_gated(self.params, state, frames)
