@@ -37,7 +37,12 @@ def main():
 
         mesh = result.estimate()
         for eye_rect, flip in ((mesh.left_eye(), False), (mesh.right_eye(), True)):
-            grown = eye_rect.grow_rel(0.8)
+            # Grow to the network's square aspect BEFORE materializing so
+            # the crop carries real pixels (the reference's composing
+            # views sample the root image, eye.rs:82; materializing a
+            # non-square crop would make the estimator's aspect growth
+            # read black bands instead).
+            grown = eye_rect.grow_rel(0.8).grow_to_fit_aspect(1.0)
             view = image.view(grown)
             crop = view.to_image()
             if flip:

@@ -154,6 +154,83 @@ class TestFusedCascade:
         assert wobble < 3.0, f"landmarks oscillating: {wobble}px"
 
 
+class TestFusedIris:
+    def test_iris_stage(self, frame, sad_linus_full):
+        """FaceTracker(iris=True): fused mesh→eye-crop→iris refinement
+        (BASELINE config 4). Iris centers must land inside the host-path
+        eye views and near the host pipeline's centers."""
+        from zaru_tpu.face.eye import EyeNetwork
+        from zaru_tpu.face.landmark.mediapipe import FaceMeshV1
+        from zaru_tpu.image import Image
+        from zaru_tpu.landmark import Estimator
+        from zaru_tpu.resolution import Resolution
+
+        t = FaceTracker(smooth=None, iris=True)
+        state = t.init_state()
+        for _ in range(2):
+            state, out = t.run_frame(state, frame)
+        assert bool(out["valid"])
+        eyes = np.asarray(out["eyes"])
+        assert eyes.shape == (2, 76, 3)
+
+        # Host pipeline reference (examples/eye_tracking.py semantics:
+        # detection-seeded tracked mesh -> eye crops -> iris).
+        from zaru_tpu.detection import Detector
+        from zaru_tpu.face.detection import ShortRangeNetwork
+        from zaru_tpu.landmark import LandmarkTracker
+
+        det = max(
+            Detector(ShortRangeNetwork()).detect(sad_linus_full),
+            key=lambda d: d.confidence(),
+        )
+        host_tracker = LandmarkTracker(Estimator(FaceMeshV1()))
+        host_tracker.set_roi(det.bounding_rect())
+        for _ in range(2):
+            mesh = host_tracker.track(sad_linus_full).estimate()
+        eye_est = Estimator(EyeNetwork())
+        host_centers = []
+        for rect, flip in ((mesh.left_eye(), False), (mesh.right_eye(), True)):
+            # Square-aspect grow BEFORE materializing: the crop carries
+            # real pixels like the reference's composing views (and like
+            # the fused sampler), not black aspect-padding bands.
+            grown = rect.grow_rel(0.8).grow_to_fit_aspect(1.0)
+            crop = sad_linus_full.view(grown).to_image()
+            if flip:
+                arr = np.ascontiguousarray(crop.to_numpy()[:, ::-1])
+                lms = eye_est.estimate(Image(arr))
+                lms.flip_horizontal_in_place(
+                    Resolution(arr.shape[1], arr.shape[0])
+                )
+            else:
+                lms = eye_est.estimate(crop)
+            host_centers.append(grown.transform_out(lms.iris_center()[:2]))
+        host_centers = np.stack(host_centers)
+
+        fused_centers = eyes[:, 0, :2]
+        err = np.abs(fused_centers - host_centers).max()
+        # Different (shorter) resampling chain than the host's
+        # crop-materialize path; centers agree within a few px.
+        assert err < 4.0, f"iris center deviation {err}px: {fused_centers} vs {host_centers}"
+
+    def test_iris_batched_gated(self, frame):
+        t = FaceTracker(smooth=None, iris=True)
+        frames = jnp.stack([frame] * 2)
+        state = t.init_state(batch=2)
+        for _ in range(2):
+            state, out = t.run_frames_gated(state, frames)
+        assert out["eyes"].shape == (2, 2, 76, 3)
+        assert bool(np.asarray(out["valid"]).all())
+        # Both streams see the same frame: identical iris outputs.
+        e = np.asarray(out["eyes"])
+        np.testing.assert_allclose(e[0], e[1], atol=1e-5)
+        # And consistent with the per-stream step path within a pixel.
+        s1 = t.init_state()
+        for _ in range(2):
+            s1, o1 = t.run_frame(s1, frame)
+        err = np.abs(np.asarray(o1["eyes"])[:, :, :2] - e[0][:, :, :2]).max()
+        assert err < 1.5, f"fused batched-vs-single iris deviation {err}px"
+
+
 class TestFaceMeshV2Cascade:
     def test_cascade_with_mesh_v2(self, frame):
         """FaceTracker must also work with FaceMeshV2 (478 landmarks,

@@ -179,10 +179,15 @@ class Cnn:
             tensor = view_to_tensor_core(image_u8, rrect, w, h, lo, hi, layout)
             return apply(params, tensor)
 
-        def sample_views_fast(images_u8, rrects):
+        def sample_views_fast(images_u8, rrects, prescale_m=None):
             from .ops.rotated_fast import rotated_sample_fast
 
-            return rotated_sample_fast(images_u8, rrects, w, h, lo, hi)
+            return rotated_sample_fast(
+                images_u8, rrects, w, h, lo, hi, prescale_m=prescale_m
+            )
+
+        def sample_view_hwc(image_u8, rrect):
+            return view_to_tensor_core(image_u8, rrect, w, h, lo, hi, "NHWC")[0]
 
         def apply_tensor_hwc(params, t_hwc):
             if model.apply_nhwc is not None:
@@ -191,6 +196,7 @@ class Cnn:
 
         self._apply_on_view = apply_on_view
         self._sample_views_fast = sample_views_fast
+        self._sample_view_hwc = sample_view_hwc
         self._apply_tensor_hwc = apply_tensor_hwc
         self._jit = jax.jit(apply_on_view)
 
@@ -224,17 +230,23 @@ class Cnn:
         jitted pipelines; vmap over leading dims for multi-stream batching."""
         return self._apply_on_view(params, image_u8, rrect)
 
-    def sample_views_fast(self, images_u8, rrects):
+    def sample_views_fast(self, images_u8, rrects, prescale_m=None):
         """Batched MXU-based rotated-view sampling (ops/rotated_fast.py):
-        ``[B,H,W,4] u8`` + ``[B,5]`` rects → ``[B,h,w,3] f32`` color-mapped
-        network inputs. Sampling is within ~1 source px of the exact
-        per-stream path — the fused serving-path fast lane."""
-        return self._sample_views_fast(images_u8, rrects)
+        ``[B,H,W,4] u8`` + ``[B,...,5]`` rects → ``[B,...,h,w,3] f32``
+        color-mapped network inputs. Sampling is within ~1 source px of
+        the exact per-stream path — the fused serving-path fast lane.
+        ``prescale_m`` shrinks the intermediate for small views."""
+        return self._sample_views_fast(images_u8, rrects, prescale_m)
 
     def apply_tensor_hwc(self, params, t_hwc):
         """Applies the network to one pre-sampled ``[h, w, 3]`` f32 input
         (NHWC feeds NHWC-internal models transpose-free)."""
         return self._apply_tensor_hwc(params, t_hwc)
+
+    def sample_view_hwc(self, image_u8, rrect):
+        """Exact single-view sample → ``[h, w, 3]`` f32 (color-mapped),
+        for traced pipelines that transform the crop before applying."""
+        return self._sample_view_hwc(image_u8, rrect)
 
     def estimate(self, image) -> list:
         """Runs the network on an image or view (nn/mod.rs:118-126).

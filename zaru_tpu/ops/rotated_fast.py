@@ -210,7 +210,8 @@ def _rotate_kernel(coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_w", "out_h", "lo", "hi", "interpret")
+    jax.jit,
+    static_argnames=("out_w", "out_h", "lo", "hi", "interpret", "prescale_m"),
 )
 def rotated_sample_fast(
     image_u8,
@@ -221,6 +222,7 @@ def rotated_sample_fast(
     hi: float = 1.0,
     *,
     interpret: bool = False,
+    prescale_m: int | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -235,7 +237,10 @@ def rotated_sample_fast(
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
     # runs in interpreter mode, which jit compiles to plain XLA.
     interpret = interpret or jax.default_backend() != "tpu"
-    M, P = PRESCALE_M, BAND_P
+    # Small crops (e.g. 64x64 eye views) can use a smaller intermediate:
+    # prescale cost and the kernel's one-hot contraction scale with M
+    # (bit-exactness then holds for bbox <= prescale_m instead).
+    M, P = prescale_m or PRESCALE_M, BAND_P
     B = image_u8.shape[0]
     slot_dims = rrect.shape[1:-1]
     rrect_flat = rrect.reshape(B, -1, 5)

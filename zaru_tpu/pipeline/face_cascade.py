@@ -32,7 +32,7 @@ from ..detection.nms import nms_average_device
 from ..face.detection import ShortRangeNetwork
 from ..face.landmark.mediapipe import FaceMeshV1, LandmarkIdx
 from ..filters import OneEuroFilter
-from ..geometry import signed_angle_to_x
+from ..geometry import rect_grow_rel, rrect_bounding, signed_angle_to_x
 from . import _ops
 
 __all__ = ["FaceTracker", "FaceTrackerState"]
@@ -61,11 +61,18 @@ class FaceTracker:
         frame_rate: float = 30.0,
         compute_dtype=None,
         fast_sampler: bool = True,
+        iris: bool = False,
     ):
         self.detector = detector or ShortRangeNetwork(compute_dtype=compute_dtype)
         self.landmarker = landmarker or FaceMeshV1(compute_dtype=compute_dtype)
         self.det_cnn = self.detector.cnn()
         self.lm_cnn = self.landmarker.cnn()
+        self.iris = iris
+        if iris:
+            from ..face.eye import EyeNetwork
+
+            self.eye_net = EyeNetwork()
+            self.eye_cnn = self.eye_net.cnn()
         self.detection_threshold = detection_threshold
         self.loss_threshold = loss_threshold
         self.roi_padding = roi_padding
@@ -78,6 +85,8 @@ class FaceTracker:
             "det": self.det_cnn.params,
             "lm": self.lm_cnn.params,
         }
+        if iris:
+            self.params["eye"] = self.eye_cnn.params
         self._step = jax.jit(self.step)
         self._step_batch = jax.jit(jax.vmap(self.step, in_axes=(None, 0, 0)))
         self._step_batch_gated = jax.jit(self.step_batch)
@@ -170,7 +179,12 @@ class FaceTracker:
             outputs = jax.vmap(
                 lambda f, vr: self.lm_cnn.apply_on_view(params["lm"], f, vr)
             )(frames, view_rects)
-        return jax.vmap(self._track_tail)(state, outputs, view_rects, rois, seeded)
+        new_state, out = jax.vmap(self._track_tail)(
+            state, outputs, view_rects, rois, seeded
+        )
+        if self.iris:
+            out = dict(out, eyes=self._iris_batch(params, frames, out["landmarks"]))
+        return new_state, out
 
     def _track_tail(self, state, outputs, view_rect, roi, seeded):
         """Decode → smooth → unmap → ROI update (landmark.rs:463-501)."""
@@ -218,6 +232,78 @@ class FaceTracker:
         }
         return new_state, out
 
+    # --- iris refinement (BASELINE config 4, reference face/eye.rs) ---------
+
+    _LEFT_EYE = (
+        int(LandmarkIdx.LEFT_EYE_BOTTOM),
+        int(LandmarkIdx.LEFT_EYE_OUTER_CORNER),
+        int(LandmarkIdx.LEFT_EYE_INNER_CORNER),
+        int(LandmarkIdx.LEFT_EYE_TOP),
+    )
+    _RIGHT_EYE = (
+        int(LandmarkIdx.RIGHT_EYE_BOTTOM),
+        int(LandmarkIdx.RIGHT_EYE_INNER_CORNER),
+        int(LandmarkIdx.RIGHT_EYE_OUTER_CORNER),
+        int(LandmarkIdx.RIGHT_EYE_TOP),
+    )
+    EYE_GROW = 0.8  # examples/eye_tracking.py host semantics
+
+    def _eye_view_rects(self, pos):
+        """Landmarks (image coords) → [2, 5] aspect-fit eye view rects
+        (mediapipe.rs:163-199 + the estimator's aspect growth)."""
+        res = self.eye_cnn.input_resolution()
+        angle = signed_angle_to_x(
+            pos[LandmarkIdx.RIGHT_EYE_OUTER_CORNER, :2]
+            - pos[LandmarkIdx.LEFT_EYE_OUTER_CORNER, :2]
+        )
+
+        def one(idx):
+            r = rrect_bounding(angle, pos[jnp.asarray(idx), :2])
+            r = jnp.concatenate(
+                [rect_grow_rel(r[0:4], self.EYE_GROW), r[4:5]]
+            )
+            return _ops.aspect_view_rect(r, res)
+
+        return jnp.stack([one(self._LEFT_EYE), one(self._RIGHT_EYE)])
+
+    def _iris_decode(self, outputs, view_rect, flip):
+        """(eye [1,213], iris [1,15]) → [76,3] image-coord landmarks; iris
+        center first (eye.rs:70-140). ``flip`` un-mirrors right eyes."""
+        res = self.eye_cnn.input_resolution()
+        eye = outputs[0].reshape(71, 3)
+        iris = outputs[1].reshape(5, 3)
+        coords = jnp.concatenate([iris, eye], axis=0)
+        x = jnp.where(flip, np.float32(res.width) - coords[:, 0], coords[:, 0])
+        coords = jnp.concatenate([x[:, None], coords[:, 1:]], axis=-1)
+        _xyv, pos = _ops.landmarks_to_image(coords, view_rect, res)
+        return pos
+
+    def _iris_single(self, params, frame, pos):
+        """Per-stream exact-path iris refinement → [2, 76, 3]."""
+        rects = self._eye_view_rects(pos)
+        flips = jnp.asarray([False, True])
+
+        def one(rect, flip):
+            t = self.eye_cnn.sample_view_hwc(frame, rect)
+            t = jnp.where(flip, t[:, ::-1, :], t)
+            outputs = self.eye_cnn.apply_tensor_hwc(params["eye"], t)
+            return self._iris_decode(outputs, rect, flip)
+
+        return jax.vmap(one)(rects, flips)
+
+    def _iris_batch(self, params, frames, pos):
+        """Batched fast-path iris refinement → [B, 2, 76, 3]."""
+        rects = jax.vmap(self._eye_view_rects)(pos)          # [B, 2, 5]
+        # Eye views are small (~0.35x face size); a 256-px intermediate
+        # keeps them bit-exact at a quarter of the default prescale cost.
+        xs = self.eye_cnn.sample_views_fast(frames, rects, prescale_m=256)
+        xs = xs.at[:, 1].set(xs[:, 1, :, ::-1, :])           # mirror right eyes
+        outputs = jax.vmap(
+            jax.vmap(lambda t: self.eye_cnn.apply_tensor_hwc(params["eye"], t))
+        )(xs)
+        flips = jnp.broadcast_to(jnp.asarray([False, True]), rects.shape[:2])
+        return jax.vmap(jax.vmap(self._iris_decode))(outputs, rects, flips)
+
     def step(self, params, state: FaceTrackerState, frame):
         """One frame: returns ``(new_state, outputs)``.
 
@@ -246,6 +332,8 @@ class FaceTracker:
         # A failed detection (lost & nothing found) stays lost/invalid.
         new_state = dict(new_state, tracking=new_state["tracking"] & found)
         out = dict(out, valid=out["valid"] & found)
+        if self.iris:
+            out["eyes"] = self._iris_single(params, frame, out["landmarks"])
         return new_state, out
 
     def step_batch(self, params, state, frames, force_detect=False):
