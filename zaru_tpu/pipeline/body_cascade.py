@@ -72,6 +72,11 @@ class BodyTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=presence_threshold,
             iou_thresh=iou_thresh,
+            # Bodies are near upright in the target workloads: MXU fast
+            # sampling with the ROI angle clamped inside its envelope
+            # (lying-down poses would need the exact path).
+            fast_sampler=True,
+            angle_clamp=0.6,
         )
 
     def _candidate_rois(self, avg_box, avg_kps, avg_angle, fit, res):

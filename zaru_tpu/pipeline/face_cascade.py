@@ -219,6 +219,12 @@ class FaceTracker:
             - xy_view[LandmarkIdx.LEFT_EYE_OUTER_CORNER]
         )
         angle = roi[4] + signed_angle_to_x(ltr)
+        if self.fast_sampler:
+            # Keep the tracked ROI inside the MXU sampler's banded rotation
+            # envelope (ops/rotated_fast.py, ~38 deg): the crop is then
+            # only approximately upright for extreme head tilts — the mesh
+            # tolerates the residual — instead of sampling black.
+            angle = jnp.clip(angle, -0.6, 0.6)
 
         new_roi = _ops.padded_roi(xy, angle, self.roi_padding)
         tracking = conf >= self.loss_threshold

@@ -51,6 +51,7 @@ class MultiHandTracker(MultiObjectTracker):
         detection_threshold: float = 0.5,
         presence_threshold: float = 0.5,
         iou_thresh: float = 0.3,
+        fast_sampler: bool = False,
     ):
         super().__init__(
             detector or PalmLite(),
@@ -63,6 +64,10 @@ class MultiHandTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=presence_threshold,
             iou_thresh=iou_thresh,
+            # Hands rotate arbitrarily (fingers-up canonicalization spans
+            # ±180°), outside the fast sampler's banded envelope — the
+            # batched path keeps the exact gather unless opted in.
+            fast_sampler=fast_sampler,
         )
 
     def _finalize_out(self, out):

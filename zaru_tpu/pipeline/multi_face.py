@@ -51,4 +51,8 @@ class MultiFaceTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=loss_threshold,
             iou_thresh=iou_thresh,
+            # Faces stay near upright: MXU fast sampling with the ROI
+            # angle clamped inside its rotation envelope.
+            fast_sampler=True,
+            angle_clamp=0.6,
         )

@@ -51,6 +51,8 @@ class MultiObjectTracker:
         presence_threshold: float = 0.5,
         iou_thresh: float = 0.3,
         num_landmarks: int | None = None,
+        fast_sampler: bool = False,
+        angle_clamp: float | None = None,
     ):
         self.detector = detector
         self.landmarker = landmarker
@@ -64,6 +66,13 @@ class MultiObjectTracker:
         self.detection_threshold = detection_threshold
         self.presence_threshold = presence_threshold
         self.iou_thresh = iou_thresh
+        # The MXU fast sampler has a banded rotation envelope
+        # (ops/rotated_fast.py, |theta| <= ~38 deg), so it is only enabled
+        # for domains whose tracked rotation can be clamped (faces/bodies
+        # near upright); hands rotate arbitrarily and keep the exact
+        # gather in the batched path by default.
+        self.fast_sampler = fast_sampler
+        self.angle_clamp = angle_clamp
 
         self.params = {"det": self.det_cnn.params, "lm": self.lm_cnn.params}
         self._step = jax.jit(self.step)
@@ -150,6 +159,8 @@ class MultiObjectTracker:
         coords, confidence, *extras = self.landmarker.decode_device(outputs)
         xy_view, pos = _ops.landmarks_to_image(coords, view_rect, res)
         angle = roi[4] + self.residual_angle(xy_view)
+        if self.angle_clamp is not None:
+            angle = jnp.clip(angle, -self.angle_clamp, self.angle_clamp)
         new_roi = _ops.padded_roi(pos[:, 0:2], angle, self.roi_padding)
         return new_roi, confidence, tuple(extras), pos
 
@@ -162,10 +173,17 @@ class MultiObjectTracker:
         view_rects = jax.vmap(
             jax.vmap(lambda r: _ops.aspect_view_rect(r, res))
         )(rois)
-        xs = self.lm_cnn.sample_views_fast(frames, view_rects)  # [B,S,h,w,3]
-        outputs = jax.vmap(
-            jax.vmap(lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t))
-        )(xs)
+        if self.fast_sampler:
+            xs = self.lm_cnn.sample_views_fast(frames, view_rects)  # [B,S,h,w,3]
+            outputs = jax.vmap(
+                jax.vmap(lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t))
+            )(xs)
+        else:
+            outputs = jax.vmap(
+                lambda f, vrs: jax.vmap(
+                    lambda vr: self.lm_cnn.apply_on_view(params["lm"], f, vr)
+                )(vrs)
+            )(frames, view_rects)
         return jax.vmap(jax.vmap(self._track_slot_tail))(
             outputs, view_rects, rois
         )
