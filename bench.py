@@ -309,7 +309,7 @@ def main() -> None:
         # (run during the build session so the driver's run compiles from
         # cache). Short budget: one window each is enough.
         for batch in (BATCH_LARGE, BATCH_SMALL):
-            run = ChildRun(batch, 1.0, measure_p50=(batch == BATCH_SMALL))
+            run = ChildRun(batch, 30.0, measure_p50=(batch == BATCH_SMALL))
             run.wait()
             log(f"prewarm B={batch}: best {run.best_fps:.0f} fps")
         return
