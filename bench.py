@@ -65,7 +65,7 @@ DETECT_EVERY = 9
 def quiet_fps(batch: int) -> float:
     # batch 8 is dominated by batch-independent per-step cost (~1.2k fps
     # healthy); the headline batch saturates the MXU (~3.3k fps healthy).
-    return 2500.0 if batch >= 64 else 1000.0
+    return 3000.0 if batch >= 64 else 1000.0
 
 
 def log(*a):
