@@ -37,6 +37,30 @@ def test_sharded_face_tracker(mesh, sad_linus_full):
     )
 
 
+def test_sharded_gated_fast_path(mesh, sad_linus_full):
+    """Per-shard batch gate + MXU fast sampler under shard_map: agrees with
+    the unsharded gated tracker."""
+    from zaru_tpu.parallel import ShardedFaceTracker
+    from zaru_tpu.pipeline import FaceTracker
+
+    tracker = FaceTracker(smooth=None)
+    sharded = ShardedFaceTracker(tracker, mesh)
+    batch = 8
+    frames_np = jnp.stack([sad_linus_full.data] * batch)
+    state = sharded.init_state(batch)
+    frames = sharded.shard_frames(frames_np)
+    for _ in range(2):
+        state, out = sharded.step_gated(state, frames)
+    assert bool(np.asarray(out["valid"]).all())
+
+    ref_state = tracker.init_state(batch=batch)
+    for _ in range(2):
+        ref_state, ref_out = tracker.run_frames_gated(ref_state, frames_np)
+    np.testing.assert_allclose(
+        np.asarray(out["landmarks"]), np.asarray(ref_out["landmarks"]), atol=1e-3
+    )
+
+
 def test_uneven_batch_rejected(mesh):
     from zaru_tpu.parallel import ShardedFaceTracker
     from zaru_tpu.pipeline import FaceTracker

@@ -55,6 +55,18 @@ class ShardedFaceTracker:
         )
         self._step = jax.jit(sharded)
 
+        # Gated fast path: each chip runs the batch-level detection gate +
+        # MXU fast sampler over ITS shard of streams (the gate predicate is
+        # shard-local, so one busy shard never forces detection elsewhere).
+        gated = jax.shard_map(
+            tracker.step_batch,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        self._step_gated = jax.jit(gated)
+
     def _shard_tree_spec(self):
         # State/output pytrees all carry the stream axis first.
         return NamedSharding(self.mesh, P(self.axis))
@@ -73,3 +85,8 @@ class ShardedFaceTracker:
         """One sharded step: ``frames [B, H, W, 4]`` with B divisible by the
         mesh size."""
         return self._step(self.params, state, frames)
+
+    def step_gated(self, state, frames):
+        """Sharded batch-gated step with MXU fast sampling — the fastest
+        multi-chip serving path (per-shard gate, no collectives)."""
+        return self._step_gated(self.params, state, frames)
