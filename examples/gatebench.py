@@ -61,11 +61,7 @@ def main():
         state, out = tracker.run_frames(state, frames)  # establish tracking
         assert bool(np.asarray(out["valid"]).all()), "tracking not established"
 
-        lost_state = jax.tree_util.tree_map(lambda x: x, state)
-        lost_state = dict(
-            lost_state,
-            tracking=jnp.asarray(np.asarray(state["tracking"]).copy()).at[0].set(False),
-        )
+        lost_state = dict(state, tracking=state["tracking"].at[0].set(False))
 
         def scan_of(step_fn, init):
             @jax.jit

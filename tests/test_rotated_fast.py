@@ -114,3 +114,25 @@ def test_fast_sampler_batched_shapes():
     assert out.shape == (2, 192, 192, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert float(jnp.max(out)) <= 1.0 and float(jnp.min(out)) >= 0.0
+
+
+@pytest.mark.parametrize("theta", [np.pi / 2, 2.6, -2.0, -0.9])
+def test_full_band_arbitrary_rotation(theta):
+    """band_p == prescale_m (no banding) supports ANY rotation — the
+    hand-cascade configuration. Bit-exact for bbox <= prescale_m."""
+    H, W = 540, 960
+    img = coord_image(H, W)
+    rrect = np.asarray([480, 270, 160, 160, theta], np.float32)
+    exact = np.asarray(
+        sample_view_rgba(jnp.asarray(img), jnp.asarray(rrect), 192, 192)
+    )
+    fast = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrect[None]), 192, 192,
+            0.0, 255.0, interpret=True,
+            prescale_m=256, band_p=256, col_split=1,
+        )[0]
+    ).round().astype(np.int64)
+    valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
+    assert valid.mean() > 0.9
+    assert (fast[valid] == exact[valid][..., :3]).all()

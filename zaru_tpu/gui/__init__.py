@@ -53,6 +53,11 @@ def show_image(key: str, image) -> None:
         loop.post(key, arr)
         return
     backend = _backend()
+    if backend == "cv2" and threading.current_thread() is not threading.main_thread():
+        # After the event loop exits (window closed / ESC), a still-running
+        # app thread must not touch HighGUI (main-thread-only); drop the
+        # frame — the process is shutting down.
+        return
     cache_key = (backend, os.environ.get("ZARU_TPU_GUI_DIR"))
     renderer = _fallback_renderers.get(cache_key)
     if renderer is None:

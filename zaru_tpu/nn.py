@@ -179,12 +179,10 @@ class Cnn:
             tensor = view_to_tensor_core(image_u8, rrect, w, h, lo, hi, layout)
             return apply(params, tensor)
 
-        def sample_views_fast(images_u8, rrects, prescale_m=None):
+        def sample_views_fast(images_u8, rrects, **opts):
             from .ops.rotated_fast import rotated_sample_fast
 
-            return rotated_sample_fast(
-                images_u8, rrects, w, h, lo, hi, prescale_m=prescale_m
-            )
+            return rotated_sample_fast(images_u8, rrects, w, h, lo, hi, **opts)
 
         def sample_view_hwc(image_u8, rrect):
             return view_to_tensor_core(image_u8, rrect, w, h, lo, hi, "NHWC")[0]
@@ -230,13 +228,14 @@ class Cnn:
         jitted pipelines; vmap over leading dims for multi-stream batching."""
         return self._apply_on_view(params, image_u8, rrect)
 
-    def sample_views_fast(self, images_u8, rrects, prescale_m=None):
+    def sample_views_fast(self, images_u8, rrects, **opts):
         """Batched MXU-based rotated-view sampling (ops/rotated_fast.py):
         ``[B,H,W,4] u8`` + ``[B,...,5]`` rects → ``[B,...,h,w,3] f32``
         color-mapped network inputs. Sampling is within ~1 source px of
         the exact per-stream path — the fused serving-path fast lane.
-        ``prescale_m`` shrinks the intermediate for small views."""
-        return self._sample_views_fast(images_u8, rrects, prescale_m)
+        ``opts`` forward the sampler's geometry knobs
+        (prescale_m/band_p/col_split)."""
+        return self._sample_views_fast(images_u8, rrects, **opts)
 
     def apply_tensor_hwc(self, params, t_hwc):
         """Applies the network to one pre-sampled ``[h, w, 3]`` f32 input

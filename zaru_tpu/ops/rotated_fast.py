@@ -130,10 +130,13 @@ def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
     ).astype(jnp.float32)
 
 
-def _rotate_kernel(coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out_h):
+def _rotate_kernel(
+    coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out_h, cols
+):
     b = pl.program_id(0)
     blk = pl.program_id(1)
-    lanes = ROWS_PER_BLOCK * out_w
+    cb = pl.program_id(2)
+    lanes = ROWS_PER_BLOCK * cols
 
     w = coef_ref[b, 0]
     h = coef_ref[b, 1]
@@ -164,10 +167,11 @@ def _rotate_kernel(coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out
         return fx * inv_sx + qx0, fy * inv_sy + qy0
 
     k0 = (blk * ROWS_PER_BLOCK).astype(jnp.float32)
+    j0 = (cb * cols).astype(jnp.float32)
     # Band start: min y over the block's corners, with 4 rows of slack.
     corners = [
-        q_of(jc, k0 + kc, rounded=False)[1]
-        for jc in (0.0, float(out_w - 1))
+        q_of(j0 + jc, k0 + kc, rounded=False)[1]
+        for jc in (0.0, float(cols - 1))
         for kc in (0.0, float(ROWS_PER_BLOCK - 1))
     ]
     ymin = jnp.minimum(jnp.minimum(corners[0], corners[1]),
@@ -188,8 +192,8 @@ def _rotate_kernel(coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out
         cp.start()
 
     t = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    jj = (t % out_w).astype(jnp.float32)
-    kk = (t // out_w).astype(jnp.float32) + k0
+    jj = (t % cols).astype(jnp.float32) + j0
+    kk = (t // cols).astype(jnp.float32) + k0
     qx, qy = q_of(jj, kk, rounded=True)
     xi = jnp.floor(qx + 0.5).astype(jnp.int32)          # [1, lanes]
     yrel = jnp.floor(qy + 0.5).astype(jnp.int32) - start
@@ -206,12 +210,15 @@ def _rotate_kernel(coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out
         band_bf = band[ch].astype(jnp.int32).astype(jnp.bfloat16)  # [P, M]
         sel = jnp.dot(band_bf, ohx, preferred_element_type=jnp.float32)
         outs.append(jnp.sum(sel * my, axis=0, keepdims=True))      # [1, lanes]
-    out_ref[0, 0, :, :] = jnp.concatenate(outs, axis=0)
+    out_ref[0, 0, 0, :, :] = jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_w", "out_h", "lo", "hi", "interpret", "prescale_m"),
+    static_argnames=(
+        "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
+        "col_split",
+    ),
 )
 def rotated_sample_fast(
     image_u8,
@@ -223,6 +230,8 @@ def rotated_sample_fast(
     *,
     interpret: bool = False,
     prescale_m: int | None = None,
+    band_p: int | None = None,
+    col_split: int = 4,
 ):
     """Fast rotated-view sample + color map.
 
@@ -231,20 +240,33 @@ def rotated_sample_fast(
     views per frame without duplicating the frame. Returns
     ``[B, ..., out_h, out_w, 3] f32`` (NHWC — feed NHWC-internal models
     transpose-free via ``ImportedModel.apply_nhwc``).
+
+    Geometry knobs (static):
+
+    - ``prescale_m``: intermediate side M. Sampling is bit-exact for view
+      bboxes <= M and subsamples on an integer-stride grid beyond
+      (index error <= ceil(stride/2)).
+    - ``band_p``: rows of the intermediate DMA'd per block. The rotation
+      envelope is ``sin|theta| * (view_size/stride) * (cols/out_w)
+      <= band_p - ~50``; ``band_p == prescale_m`` disables banding and
+      supports ARBITRARY rotation (cost grows linearly with band_p).
+    - ``col_split``: split each 8-row block into this many column blocks —
+      same total FLOPs, 4x smaller per-block row drift (wider envelope)
+      at the price of re-DMA'ing bands per column block.
     """
     assert out_h % ROWS_PER_BLOCK == 0
+    assert out_w % col_split == 0
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
     # runs in interpreter mode, which jit compiles to plain XLA.
     interpret = interpret or jax.default_backend() != "tpu"
-    # Small crops (e.g. 64x64 eye views) can use a smaller intermediate:
-    # prescale cost and the kernel's one-hot contraction scale with M
-    # (bit-exactness then holds for bbox <= prescale_m instead).
-    M, P = prescale_m or PRESCALE_M, BAND_P
+    M = prescale_m or PRESCALE_M
+    P = min(band_p or BAND_P, M)
     B = image_u8.shape[0]
     slot_dims = rrect.shape[1:-1]
     rrect_flat = rrect.reshape(B, -1, 5)
-    lanes = ROWS_PER_BLOCK * out_w
+    cols = out_w // col_split
+    lanes = ROWS_PER_BLOCK * cols
     n_blocks = out_h // ROWS_PER_BLOCK
 
     def one(img, rr):
@@ -261,19 +283,23 @@ def rotated_sample_fast(
     planar = planar.reshape(N, 3, M, M)
     coefs = coefs.reshape(N, coefs.shape[-1])
 
-    kernel = functools.partial(_rotate_kernel, M=M, P=P, out_w=out_w, out_h=out_h)
+    kernel = functools.partial(
+        _rotate_kernel, M=M, P=P, out_w=out_w, out_h=out_h, cols=cols
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(N, n_blocks),
+        grid=(N, n_blocks, col_split),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
             pl.BlockSpec(memory_space=pl.ANY),  # planar [N, 3, M, M]
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 3, lanes), lambda b, blk: (b, blk, 0, 0),
+            (1, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((N, n_blocks, 3, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, n_blocks, col_split, 3, lanes), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((3, P, M), jnp.uint8),
             pltpu.SemaphoreType.DMA((3,)),
@@ -283,7 +309,7 @@ def rotated_sample_fast(
 
     adjust = np.float32((hi - lo) / 255.0)
     out = out * adjust + np.float32(lo)
-    # [N, n_blocks, 3, 8*out_w] -> [B, ..., out_h, out_w, 3]
-    out = out.reshape(N, n_blocks, 3, ROWS_PER_BLOCK, out_w)
-    out = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(N, out_h, out_w, 3)
+    # [N, nrb, cs, 3, 8*cols] -> [B, ..., out_h, out_w, 3]
+    out = out.reshape(N, n_blocks, col_split, 3, ROWS_PER_BLOCK, cols)
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(N, out_h, out_w, 3)
     return out.reshape((B, *slot_dims, out_h, out_w, 3))

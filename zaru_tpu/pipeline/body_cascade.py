@@ -72,11 +72,11 @@ class BodyTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=presence_threshold,
             iou_thresh=iou_thresh,
-            # Bodies are near upright in the target workloads: MXU fast
-            # sampling with the ROI angle clamped inside its envelope
-            # (lying-down poses would need the exact path).
+            # Full-band fast sampling: any body rotation (lying-down poses
+            # included); body views are large, so the 256-px intermediate
+            # subsamples big subjects on an integer-stride grid.
             fast_sampler=True,
-            angle_clamp=0.6,
+            sampler_opts={"prescale_m": 256, "band_p": 256, "col_split": 1},
         )
 
     def _candidate_rois(self, avg_box, avg_kps, avg_angle, fit, res):

@@ -171,6 +171,16 @@ class FaceTracker:
         res = self.lm_cnn.input_resolution()
         view_rects = jax.vmap(lambda r: _ops.aspect_view_rect(r, res))(rois)
         if self.fast_sampler:
+            # Clamp only the SAMPLED view's rotation to the MXU sampler's
+            # envelope (col_split=4: safe to ~28 deg at any view size; see
+            # ops/rotated_fast.py). The tracked ROI state keeps the true
+            # angle, and _track_tail recovers true rotation from
+            # view_rect[4] + the measured residual, so extreme tilts
+            # degrade to an approximately-upright crop instead of black.
+            view_rects = view_rects.at[:, 4].set(
+                jnp.clip(view_rects[:, 4], -self.VIEW_ANGLE_CLAMP,
+                         self.VIEW_ANGLE_CLAMP)
+            )
             xs = self.lm_cnn.sample_views_fast(frames, view_rects)
             outputs = jax.vmap(
                 lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t)
@@ -218,13 +228,10 @@ class FaceTracker:
             xy_view[LandmarkIdx.RIGHT_EYE_OUTER_CORNER]
             - xy_view[LandmarkIdx.LEFT_EYE_OUTER_CORNER]
         )
-        angle = roi[4] + signed_angle_to_x(ltr)
-        if self.fast_sampler:
-            # Keep the tracked ROI inside the MXU sampler's banded rotation
-            # envelope (ops/rotated_fast.py, ~38 deg): the crop is then
-            # only approximately upright for extreme head tilts — the mesh
-            # tolerates the residual — instead of sampling black.
-            angle = jnp.clip(angle, -0.6, 0.6)
+        # NB: view_rect's angle, not roi's — on the fast-sampled path the
+        # view may be envelope-clamped; the residual is measured relative
+        # to the actual view, so this recovers the TRUE face rotation.
+        angle = view_rect[4] + signed_angle_to_x(ltr)
 
         new_roi = _ops.padded_roi(xy, angle, self.roi_padding)
         tracking = conf >= self.loss_threshold
@@ -253,6 +260,9 @@ class FaceTracker:
         int(LandmarkIdx.RIGHT_EYE_TOP),
     )
     EYE_GROW = 0.8  # examples/eye_tracking.py host semantics
+    # Fast-sampler view-rotation clamp (safe for all stride-1 view sizes
+    # with col_split=4; ops/rotated_fast.py envelope math).
+    VIEW_ANGLE_CLAMP = 0.5
 
     def _eye_view_rects(self, pos):
         """Landmarks (image coords) → [2, 5] aspect-fit eye view rects
@@ -301,8 +311,12 @@ class FaceTracker:
         """Batched fast-path iris refinement → [B, 2, 76, 3]."""
         rects = jax.vmap(self._eye_view_rects)(pos)          # [B, 2, 5]
         # Eye views are small (~0.35x face size); a 256-px intermediate
-        # keeps them bit-exact at a quarter of the default prescale cost.
-        xs = self.eye_cnn.sample_views_fast(frames, rects, prescale_m=256)
+        # keeps them bit-exact at a quarter of the default prescale cost,
+        # and the full band (band_p == prescale_m) supports any eye
+        # rotation without clamping.
+        xs = self.eye_cnn.sample_views_fast(
+            frames, rects, prescale_m=256, band_p=256, col_split=1
+        )
         xs = xs.at[:, 1].set(xs[:, 1, :, ::-1, :])           # mirror right eyes
         outputs = jax.vmap(
             jax.vmap(lambda t: self.eye_cnn.apply_tensor_hwc(params["eye"], t))

@@ -51,7 +51,7 @@ class MultiHandTracker(MultiObjectTracker):
         detection_threshold: float = 0.5,
         presence_threshold: float = 0.5,
         iou_thresh: float = 0.3,
-        fast_sampler: bool = False,
+        fast_sampler: bool = True,
     ):
         super().__init__(
             detector or PalmLite(),
@@ -65,9 +65,11 @@ class MultiHandTracker(MultiObjectTracker):
             presence_threshold=presence_threshold,
             iou_thresh=iou_thresh,
             # Hands rotate arbitrarily (fingers-up canonicalization spans
-            # ±180°), outside the fast sampler's banded envelope — the
-            # batched path keeps the exact gather unless opted in.
+            # ±180°), so the fast path uses the sampler's FULL-band
+            # configuration (band_p == prescale_m): any rotation, bit-exact
+            # for palm views <= 256 px, integer-stride beyond.
             fast_sampler=fast_sampler,
+            sampler_opts={"prescale_m": 256, "band_p": 256, "col_split": 1},
         )
 
     def _finalize_out(self, out):

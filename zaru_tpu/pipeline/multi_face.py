@@ -51,8 +51,10 @@ class MultiFaceTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=loss_threshold,
             iou_thresh=iou_thresh,
-            # Faces stay near upright: MXU fast sampling with the ROI
-            # angle clamped inside its rotation envelope.
+            # Faces stay near upright: MXU fast sampling with the sampled
+            # VIEW's rotation clamped inside the banded envelope
+            # (col_split=4, safe to ~28 deg at any view size; the ROI
+            # state and outputs keep true angles).
             fast_sampler=True,
-            angle_clamp=0.6,
+            angle_clamp=0.5,
         )

@@ -53,6 +53,7 @@ class MultiObjectTracker:
         num_landmarks: int | None = None,
         fast_sampler: bool = False,
         angle_clamp: float | None = None,
+        sampler_opts: dict | None = None,
     ):
         self.detector = detector
         self.landmarker = landmarker
@@ -66,13 +67,14 @@ class MultiObjectTracker:
         self.detection_threshold = detection_threshold
         self.presence_threshold = presence_threshold
         self.iou_thresh = iou_thresh
-        # The MXU fast sampler has a banded rotation envelope
-        # (ops/rotated_fast.py, |theta| <= ~38 deg), so it is only enabled
-        # for domains whose tracked rotation can be clamped (faces/bodies
-        # near upright); hands rotate arbitrarily and keep the exact
-        # gather in the batched path by default.
+        # Fast-sampler geometry: either the banded default with a VIEW
+        # rotation clamp (faces/bodies, near upright), or a full-band
+        # configuration (band_p == prescale_m in sampler_opts) supporting
+        # arbitrary rotation (hands). The clamp applies only to the
+        # sampled view — ROI state and outputs keep true angles.
         self.fast_sampler = fast_sampler
         self.angle_clamp = angle_clamp
+        self.sampler_opts = sampler_opts or {}
 
         self.params = {"det": self.det_cnn.params, "lm": self.lm_cnn.params}
         self._step = jax.jit(self.step)
@@ -158,9 +160,10 @@ class MultiObjectTracker:
         res = self.lm_cnn.input_resolution()
         coords, confidence, *extras = self.landmarker.decode_device(outputs)
         xy_view, pos = _ops.landmarks_to_image(coords, view_rect, res)
-        angle = roi[4] + self.residual_angle(xy_view)
-        if self.angle_clamp is not None:
-            angle = jnp.clip(angle, -self.angle_clamp, self.angle_clamp)
+        # view_rect's angle, not roi's: on the fast path the sampled view
+        # may be envelope-clamped; the residual is measured relative to
+        # the actual view, so this recovers the TRUE object rotation.
+        angle = view_rect[4] + self.residual_angle(xy_view)
         new_roi = _ops.padded_roi(pos[:, 0:2], angle, self.roi_padding)
         return new_roi, confidence, tuple(extras), pos
 
@@ -174,7 +177,14 @@ class MultiObjectTracker:
             jax.vmap(lambda r: _ops.aspect_view_rect(r, res))
         )(rois)
         if self.fast_sampler:
-            xs = self.lm_cnn.sample_views_fast(frames, view_rects)  # [B,S,h,w,3]
+            if self.angle_clamp is not None:
+                view_rects = view_rects.at[..., 4].set(
+                    jnp.clip(view_rects[..., 4],
+                             -self.angle_clamp, self.angle_clamp)
+                )
+            xs = self.lm_cnn.sample_views_fast(
+                frames, view_rects, **self.sampler_opts
+            )  # [B,S,h,w,3]
             outputs = jax.vmap(
                 jax.vmap(lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t))
             )(xs)
