@@ -11,11 +11,15 @@ sublane mask-reductions), no pointwise gathers:
 1. **Prescale** (XLA): the rotated view's axis-aligned bounding box is
    NN-resampled to a static planar intermediate ``[3, M, M]`` with two
    1-D row/column takes (index vectors of length M — cheap, unlike
-   per-pixel index matrices). OOB pixels become 0 like the exact sampler.
-2. **Rotate** (Pallas): for each block of 8 output rows, DMA a P-row band
-   of the intermediate into VMEM, select source *columns* with a one-hot
-   MXU matmul ``band[P,M] @ onehot[M,1536]`` and source *rows* with a
-   sublane mask-reduction — both dense, both exact selections.
+   per-pixel index matrices; rows first for contiguous reads). OOB
+   pixels become 0 like the exact sampler.
+2. **Rotate** (Pallas): for each block of 16 output rows x (out_w /
+   col_split) columns, DMA the [3, P, XW] band of the intermediate
+   covering the block's source extent into VMEM (corner-derived dynamic
+   offsets), select source *columns* with one fused int8 one-hot MXU
+   matmul ``band[3P,XW] @ onehot[XW,lanes]`` (u8 re-biased via XOR 0x80;
+   exact integer math at 2x the bf16 MXU rate) and source *rows* with a
+   sublane mask-reduction — dense, exact selections throughout.
 
 Accuracy: selection is exact; the approximation is in the index math —
 the exact path's intermediate rounding (view-grid quantization +
@@ -42,11 +46,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rotated_sample_fast", "PRESCALE_M", "BAND_P"]
+__all__ = ["rotated_sample_fast", "PRESCALE_M", "BAND_P", "WIN_X"]
 
 PRESCALE_M = 512  # intermediate side; sampling is bit-exact for bbox <= M
 BAND_P = 128      # band rows per 8-output-row block (rotation envelope)
+WIN_X = 256       # band columns per block (x-window; no envelope, see below)
 ROWS_PER_BLOCK = 8
+PRESCALE_MARGIN = 2.0  # prescale bbox slack (matches the exact path)
 
 
 def _rha(x):
@@ -65,8 +71,8 @@ def _prescale_planar(image_u8, rrect, M: int):
     H, W = image_u8.shape[0], image_u8.shape[1]
     cx, cy, w, h, th = (rrect[i] for i in range(5))
     c, s = jnp.abs(jnp.cos(th)), jnp.abs(jnp.sin(th))
-    bw = w * c + h * s + 2.0
-    bh = w * s + h * c + 2.0
+    bw = w * c + h * s + PRESCALE_MARGIN
+    bh = w * s + h * c + PRESCALE_MARGIN
     # INTEGER strides only: the "prescale" is a strided integer-offset
     # crop, so every intermediate pixel is a true image pixel on a
     # stride-sx grid. Views with bbox <= M get stride 1 (bit-exact
@@ -84,14 +90,18 @@ def _prescale_planar(image_u8, rrect, M: int):
     q = jnp.arange(M, dtype=jnp.float32) + 0.5
     xs = _rha(left + q * sx - 0.5)
     ys = _rha(top + q * sy - 0.5)
-    # OOB indices sample 0 via take's fill mode (Color::NONE semantics).
-    # NB: the sentinel must be >= size — jnp.take wraps NEGATIVE indices
-    # (numpy semantics) before fill applies. Columns first (narrower
-    # intermediate: [H, M, 4] vs [M, W, 4]).
+    # OOB indices sample 0 (Color::NONE semantics). NB: the fill sentinel
+    # must be >= size — jnp.take wraps NEGATIVE indices (numpy semantics)
+    # before fill applies.
     xi = jnp.where((xs >= 0) & (xs < W), xs, np.float32(W)).astype(jnp.int32)
     yi = jnp.where((ys >= 0) & (ys < H), ys, np.float32(H)).astype(jnp.int32)
-    cols = jnp.take(image_u8, xi, axis=1, mode="fill", fill_value=0)
-    patch = jnp.take(cols, yi, axis=0, mode="fill", fill_value=0)  # [M, M, 4]
+    # Rows FIRST: M dynamic-slices of CONTIGUOUS frame rows (7.7 KB each
+    # at 1080p). Column-first take is a strided column gather over the
+    # whole frame — 4-byte touches at row-pitch stride — measured ~2x
+    # slower overall (10.9 vs 5.9 ms/step at batch 128; an MXU one-hot
+    # column select measured no better than the second take).
+    rows = jnp.take(image_u8, yi, axis=0, mode="fill", fill_value=0)
+    patch = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)  # [M, M, 4]
     planar = jnp.transpose(patch[..., :3], (2, 0, 1))  # [3, M, M]
     return planar, left, top, sx, sy
 
@@ -131,12 +141,13 @@ def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
 
 
 def _rotate_kernel(
-    coef_ref, planar_ref, out_ref, band, sem, *, M, P, out_w, out_h, cols
+    coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
+    cols, rows_pb, int8_mxu
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
     cb = pl.program_id(2)
-    lanes = ROWS_PER_BLOCK * cols
+    lanes = rows_pb * cols
 
     w = coef_ref[b, 0]
     h = coef_ref[b, 1]
@@ -166,58 +177,82 @@ def _rotate_kernel(
         fy = (sth * px + cth * py + hhalf) + tly
         return fx * inv_sx + qx0, fy * inv_sy + qy0
 
-    k0 = (blk * ROWS_PER_BLOCK).astype(jnp.float32)
+    k0 = (blk * rows_pb).astype(jnp.float32)
     j0 = (cb * cols).astype(jnp.float32)
-    # Band start: min y over the block's corners, with 4 rows of slack.
+    # Band start: min x/y over the block's corners, with slack. The x
+    # window has no envelope (coverage proof at PRESCALE_MARGIN); the y
+    # band's rotation envelope is documented in the module docstring.
     corners = [
-        q_of(j0 + jc, k0 + kc, rounded=False)[1]
+        q_of(j0 + jc, k0 + kc, rounded=False)
         for jc in (0.0, float(cols - 1))
-        for kc in (0.0, float(ROWS_PER_BLOCK - 1))
+        for kc in (0.0, float(rows_pb - 1))
     ]
-    ymin = jnp.minimum(jnp.minimum(corners[0], corners[1]),
-                       jnp.minimum(corners[2], corners[3]))
+    xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
+    ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
     # u8 tiling is (32, 128): dynamic sublane DMA offsets must be
-    # 32-aligned, so the band start rounds down (eating <=31 rows of the
-    # P-row envelope).
+    # 32-aligned (lane offsets 128-aligned), so the band starts round
+    # down (eating <=31 rows of the P-row envelope; the x window's
+    # <=127-column loss is covered by the margin proof).
     start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
     start = pl.multiple_of((start // 32) * 32, 32)
+    xstart = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW)
+    xstart = pl.multiple_of((xstart // 128) * 128, 128)
 
-    copies = [
-        pltpu.make_async_copy(
-            planar_ref.at[b, ch, pl.ds(start, P), :], band.at[ch], sem.at[ch]
-        )
-        for ch in range(3)
-    ]
-    for cp in copies:
-        cp.start()
+    # One DMA for all three channel bands (rectangular [3, P, XW] copy).
+    cp = pltpu.make_async_copy(
+        planar_ref.at[b, :, pl.ds(start, P), pl.ds(xstart, XW)], band, sem
+    )
+    cp.start()
 
     t = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     jj = (t % cols).astype(jnp.float32) + j0
     kk = (t // cols).astype(jnp.float32) + k0
     qx, qy = q_of(jj, kk, rounded=True)
-    xi = jnp.floor(qx + 0.5).astype(jnp.int32)          # [1, lanes]
+    xrel = jnp.floor(qx + 0.5).astype(jnp.int32) - xstart  # [1, lanes]
     yrel = jnp.floor(qy + 0.5).astype(jnp.int32) - start
     # Out-of-range columns/rows select nothing -> sample 0 (black), same
-    # as the OOB rule; in-range selections are exact one-hots.
-    iota_m = lax.broadcasted_iota(jnp.int32, (M, lanes), 0)
-    ohx = (iota_m == xi).astype(jnp.bfloat16)            # [M, lanes]
+    # as the OOB rule; in-range selections are exact one-hots. (Window
+    # starts are clamped to [0, M-size], so "in window" implies "inside
+    # the intermediate" — OOB semantics are preserved exactly.)
+    iota_x = lax.broadcasted_iota(jnp.int32, (XW, lanes), 0)
     iota_p = lax.broadcasted_iota(jnp.int32, (P, lanes), 0)
-    my = (iota_p == yrel).astype(jnp.float32)            # [P, lanes]
+    my = (iota_p == yrel)                                   # [P, lanes]
 
-    outs = []
-    for ch in range(3):
-        copies[ch].wait()
-        band_bf = band[ch].astype(jnp.int32).astype(jnp.bfloat16)  # [P, M]
-        sel = jnp.dot(band_bf, ohx, preferred_element_type=jnp.float32)
-        outs.append(jnp.sum(sel * my, axis=0, keepdims=True))      # [1, lanes]
-    out_ref[0, 0, 0, :, :] = jnp.concatenate(outs, axis=0)
+    cp.wait()
+    if int8_mxu:
+        # u8 pixels don't fit int8; XOR 0x80 re-biases to [-128, 127]
+        # (u8 value - 128, exactly). The dot then yields
+        # (pixel-128)·[x in window]; masking rows and adding back
+        # 128·[x and y in window] reconstructs the exact pixel. All
+        # integer arithmetic — bit-identical to the bf16 path, at 2x the
+        # MXU rate. One fused [3P, XW] matmul covers all channels.
+        ohx = (iota_x == xrel).astype(jnp.int8)            # [XW, lanes]
+        ind = ((xrel >= 0) & (xrel < XW) & (yrel >= 0) & (yrel < P))
+        band_i8 = pltpu.bitcast(band[:] ^ jnp.uint8(0x80), jnp.int8)
+        sel = jnp.dot(
+            band_i8.reshape(3 * P, XW), ohx,
+            preferred_element_type=jnp.int32,
+        ).reshape(3, P, lanes)
+        v = jnp.sum(sel * my[None].astype(jnp.int32), axis=1)  # [3, lanes]
+        out = (v + 128 * ind.astype(jnp.int32)).astype(jnp.float32)
+    else:
+        # bf16 MXU path: u8 values <= 255 < 2^8 are exact in bf16, and
+        # one-hot selection is exact — same results as int8.
+        ohx = (iota_x == xrel).astype(jnp.bfloat16)        # [XW, lanes]
+        band_bf = band[:].astype(jnp.int32).astype(jnp.bfloat16)
+        sel = jnp.dot(
+            band_bf.reshape(3 * P, XW), ohx,
+            preferred_element_type=jnp.float32,
+        ).reshape(3, P, lanes)
+        out = jnp.sum(sel * my[None].astype(jnp.float32), axis=1)
+    out_ref[0, 0, 0, :, :] = out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
-        "col_split",
+        "col_split", "win_x", "int8_mxu",
     ),
 )
 def rotated_sample_fast(
@@ -231,7 +266,9 @@ def rotated_sample_fast(
     interpret: bool = False,
     prescale_m: int | None = None,
     band_p: int | None = None,
-    col_split: int = 4,
+    col_split: int | None = None,
+    win_x: int | None = None,
+    int8_mxu: bool = True,
 ):
     """Fast rotated-view sample + color map.
 
@@ -250,24 +287,60 @@ def rotated_sample_fast(
       envelope is ``sin|theta| * (view_size/stride) * (cols/out_w)
       <= band_p - ~50``; ``band_p == prescale_m`` disables banding and
       supports ARBITRARY rotation (cost grows linearly with band_p).
-    - ``col_split``: split each 8-row block into this many column blocks —
-      same total FLOPs, 4x smaller per-block row drift (wider envelope)
-      at the price of re-DMA'ing bands per column block.
+    - ``col_split``: split each row block into this many column blocks —
+      narrower blocks shrink both the per-block row drift (wider rotation
+      envelope) and the source-x span (enabling the x-window), at the
+      price of more per-block overhead. Default: auto — the smallest
+      divisor of ``out_w`` whose blocks the x-window provably covers.
+    - ``win_x``: columns of the intermediate DMA'd per block (the one-hot
+      contraction width — the kernel's FLOP knob). Auto-disabled (full
+      ``M``) whenever the margin-based coverage proof doesn't hold for
+      this (M, out_w, col_split), so it never changes results.
+    - ``int8_mxu``: run the one-hot contraction on the MXU in int8 (2x
+      bf16 rate). Exact integer math — results are bit-identical to the
+      bf16 path; switch off only if a backend lacks int8 matmul.
     """
-    assert out_h % ROWS_PER_BLOCK == 0
-    assert out_w % col_split == 0
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
     # runs in interpreter mode, which jit compiles to plain XLA.
     interpret = interpret or jax.default_backend() != "tpu"
+    # Rows per block: bigger blocks amortize per-block overhead (the
+    # measured kernel limiter); shrink for outputs that don't divide 16.
+    rows_pb = 16 if out_h % 16 == 0 else ROWS_PER_BLOCK
+    assert out_h % rows_pb == 0
     M = prescale_m or PRESCALE_M
     P = min(band_p or BAND_P, M)
+    XW = min(win_x or WIN_X, M)
+
+    # x-window coverage: a block's source-x span in prescale units is
+    #   cols*cos*(w/sx)/out_w + rows*sin*(h/sy)/out_h
+    # maximized (LP over w,h >= 0 under the prescale bbox constraints
+    # w*cos + h*sin <= (M-margin)*sx and w*sin + h*cos <= (M-margin)*sy)
+    # at (M-margin)*cols/out_w — independent of rotation. The usable
+    # window past a block's xmin is XW - 128 (128-alignment + floor), and
+    # index rounding adds <= ~2.5 px of wiggle per side (two-stage
+    # round-half-away, |c|+|s| <= sqrt(2)); 5 px of slack covers it.
+    def covered(cs):
+        return XW - 128 >= (M - PRESCALE_MARGIN) / cs + 5
+
+    if col_split is None:
+        # Auto: the smallest divisor of out_w whose blocks the x-window
+        # provably covers (smaller splits = fewer, bigger blocks = less
+        # per-block overhead; span shrinks ∝ 1/col_split).
+        col_split = next(
+            (c for c in range(4, 17) if out_w % c == 0 and covered(c)),
+            4 if out_w % 4 == 0 else 1,
+        )
+    assert out_w % col_split == 0
+    # Never silently clip: without a coverage proof, disable the window.
+    if not covered(col_split):
+        XW = M
     B = image_u8.shape[0]
     slot_dims = rrect.shape[1:-1]
     rrect_flat = rrect.reshape(B, -1, 5)
     cols = out_w // col_split
-    lanes = ROWS_PER_BLOCK * cols
-    n_blocks = out_h // ROWS_PER_BLOCK
+    lanes = rows_pb * cols
+    n_blocks = out_h // rows_pb
 
     def one(img, rr):
         planar, left, top, sx, sy = _prescale_planar(img, rr, M)
@@ -284,7 +357,8 @@ def rotated_sample_fast(
     coefs = coefs.reshape(N, coefs.shape[-1])
 
     kernel = functools.partial(
-        _rotate_kernel, M=M, P=P, out_w=out_w, out_h=out_h, cols=cols
+        _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
+        cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
     )
     out = pl.pallas_call(
         kernel,
@@ -301,15 +375,15 @@ def rotated_sample_fast(
             (N, n_blocks, col_split, 3, lanes), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, P, M), jnp.uint8),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((3, P, XW), jnp.uint8),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(coefs, planar)
 
     adjust = np.float32((hi - lo) / 255.0)
     out = out * adjust + np.float32(lo)
-    # [N, nrb, cs, 3, 8*cols] -> [B, ..., out_h, out_w, 3]
-    out = out.reshape(N, n_blocks, col_split, 3, ROWS_PER_BLOCK, cols)
+    # [N, nrb, cs, 3, rows_pb*cols] -> [B, ..., out_h, out_w, 3]
+    out = out.reshape(N, n_blocks, col_split, 3, rows_pb, cols)
     out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(N, out_h, out_w, 3)
     return out.reshape((B, *slot_dims, out_h, out_w, 3))

@@ -172,8 +172,8 @@ class FaceTracker:
         view_rects = jax.vmap(lambda r: _ops.aspect_view_rect(r, res))(rois)
         if self.fast_sampler:
             # Clamp only the SAMPLED view's rotation to the MXU sampler's
-            # envelope (col_split=4: safe to ~28 deg at any view size; see
-            # ops/rotated_fast.py). The tracked ROI state keeps the true
+            # envelope (auto col_split: safe to ~28 deg at any view size;
+            # see ops/rotated_fast.py). The tracked ROI state keeps the true
             # angle, and _track_tail recovers true rotation from
             # view_rect[4] + the measured residual, so extreme tilts
             # degrade to an approximately-upright crop instead of black.

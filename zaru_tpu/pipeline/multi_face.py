@@ -53,7 +53,7 @@ class MultiFaceTracker(MultiObjectTracker):
             iou_thresh=iou_thresh,
             # Faces stay near upright: MXU fast sampling with the sampled
             # VIEW's rotation clamped inside the banded envelope
-            # (col_split=4, safe to ~28 deg at any view size; the ROI
+            # (auto col_split, safe to ~28 deg at any view size; the ROI
             # state and outputs keep true angles).
             fast_sampler=True,
             angle_clamp=0.5,
