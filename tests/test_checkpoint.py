@@ -59,3 +59,40 @@ def test_orbax_roundtrip(tmp_path, model):
         np.testing.assert_array_equal(
             np.asarray(restored[k]), np.asarray(model.params[k])
         )
+
+
+def test_async_save(tmp_path, model):
+    from zaru_tpu.checkpoint import save_params_async
+
+    p = tmp_path / "async_ckpt"
+    try:
+        h = save_params_async(p, model.params)
+    except Exception as e:  # pragma: no cover - orbax config varies
+        pytest.skip(f"orbax unavailable in this environment: {e}")
+    h.wait_until_finished()
+    restored = load_params(p)
+    for k in model.params:
+        np.testing.assert_array_equal(
+            np.asarray(restored[k]), np.asarray(model.params[k])
+        )
+
+
+def test_checkpoint_manager_retention_and_restore(tmp_path, model):
+    from zaru_tpu.checkpoint import CheckpointManager
+
+    params = {k: np.asarray(v) for k, v in model.params.items()}
+    first = sorted(params)[0]
+    try:
+        with CheckpointManager(tmp_path / "mgr", max_to_keep=2) as mgr:
+            for step in range(4):
+                stepped = dict(params, **{first: params[first] + step})
+                assert mgr.save(step, stepped)
+            mgr.wait_until_finished()
+            assert mgr.all_steps() == [2, 3]  # retention pruned 0, 1
+            assert mgr.latest_step() == 3
+            restored = mgr.restore()
+            np.testing.assert_array_equal(restored[first], params[first] + 3)
+            restored2 = mgr.restore(step=2)
+            np.testing.assert_array_equal(restored2[first], params[first] + 2)
+    except Exception as e:  # pragma: no cover - orbax config varies
+        pytest.skip(f"orbax unavailable in this environment: {e}")
