@@ -64,8 +64,10 @@ DETECT_EVERY = 9
 # force true completion.)
 def quiet_fps(batch: int) -> float:
     # batch 8 is dominated by batch-independent per-step cost (~1.2k fps
-    # healthy); the headline batch saturates the MXU (~3.3k fps healthy).
-    return 3000.0 if batch >= 64 else 1000.0
+    # healthy); the headline batch saturates the MXU (~6.1k fps healthy
+    # after the sampler-v2 rework: int8 x-window kernel + rows-first
+    # prescale — examples/gatebench.py).
+    return 5000.0 if batch >= 64 else 1000.0
 
 
 def log(*a):
@@ -113,11 +115,13 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
     frame = make_1080p_frame()
     # Upload ONE frame and tile on device: through this environment's
     # tunnel, a [128,1080,1920,4] host upload alone takes minutes.
+    t0 = time.perf_counter()
     frame_dev = jax.device_put(jnp.asarray(frame))
     frames = jax.jit(
         lambda f: jnp.broadcast_to(f[None], (batch, *f.shape)) + 0
     )(frame_dev)
     jax.block_until_ready(frames)
+    log(f"[B={batch}] frame upload+tile: {time.perf_counter() - t0:.1f}s")
     state = tracker.init_state(batch=batch)
 
     @jax.jit
