@@ -64,10 +64,11 @@ DETECT_EVERY = 9
 # force true completion.)
 def quiet_fps(batch: int) -> float:
     # batch 8 is dominated by batch-independent per-step cost (~1.2k fps
-    # healthy); the headline batch saturates the MXU (~6.1k fps healthy
-    # after the sampler-v2 rework: int8 x-window kernel + rows-first
-    # prescale — examples/gatebench.py).
-    return 5000.0 if batch >= 64 else 1000.0
+    # healthy). The headline batch's steady state is ~6.1k fps after the
+    # sampler-v2 rework (examples/gatebench.py), but the measured loop is
+    # the production cadence whose every-9th detect frame (~75 ms) pulls
+    # the average to ~4.1k healthy — early-exit just under that.
+    return 4000.0 if batch >= 64 else 1000.0
 
 
 def log(*a):

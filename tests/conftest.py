@@ -23,6 +23,18 @@ if os.environ.get("ZARU_TPU_TEST_BACKEND", "cpu") == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
+import pathlib
+
+import jax as _jax
+
+# Persistent compile cache: unchanged test programs skip XLA compilation
+# on re-runs (keyed by HLO hash, so code changes recompile as needed).
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

@@ -21,6 +21,7 @@ RUNNABLE = [
     "eye_tracking.py",
     "palm_detection.py",
     "hand_tracking.py",
+    "identify_stream.py",
 ]
 
 

@@ -87,6 +87,35 @@ class TestSamplingParity:
         want = oracle_cnn_sample(img, rrect, 16, 16)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize(
+        "shape,rrect",
+        [
+            # In-bounds letterbox fits (angle 0) at scale < 1, == 1, > 4
+            # (the stride regime where the MXU fast sampler quantizes;
+            # this path must NOT), plus an OOB-hanging letterbox.
+            ((30, 40), [20.0, 15.0, 40.0, 30.0, 0.0]),
+            ((30, 40), [20.0, 15.0, 16.0, 16.0, 0.0]),
+            ((270, 480), [240.0, 135.0, 480.0, 480.0, 0.0]),
+            ((30, 40), [2.0, 3.0, 40.0, 40.0, 0.0]),
+        ],
+    )
+    def test_letterbox_sampler_bit_exact(self, shape, rrect):
+        """letterbox_sample_core (two 1-D takes) must equal the exact 2-D
+        gather bit-for-bit on angle-0 views at ANY scale, including OOB."""
+        from zaru_tpu.ops.sampling import letterbox_sample_core, view_to_tensor_core
+
+        rng = np.random.default_rng(11)
+        img = random_image(rng, shape[1], shape[0])
+        rr = jnp.asarray(np.array(rrect, np.float32))
+        out_w, out_h = 16, 16
+        got = np.asarray(
+            letterbox_sample_core(jnp.asarray(img), rr, out_w, out_h, -1.0, 1.0)
+        )
+        want = np.asarray(
+            view_to_tensor_core(jnp.asarray(img), rr, out_w, out_h, -1.0, 1.0, "NHWC")
+        )[0]
+        np.testing.assert_array_equal(got, want)
+
     def test_oob_is_color_none(self):
         img = np.full((4, 4, 4), 200, np.uint8)
         # View hanging off the top-left corner.

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .image import Image, ImageView, as_view
 from .onnx import ImportedModel, load_model
-from .ops.sampling import view_to_tensor_core
+from .ops.sampling import letterbox_sample_core, view_to_tensor_core
 from .resolution import Resolution
 
 log = logging.getLogger(__name__)
@@ -187,6 +187,11 @@ class Cnn:
         def sample_view_hwc(image_u8, rrect):
             return view_to_tensor_core(image_u8, rrect, w, h, lo, hi, "NHWC")[0]
 
+        def sample_views_letterbox(images_u8, rrects):
+            return jax.vmap(
+                lambda img, rr: letterbox_sample_core(img, rr, w, h, lo, hi)
+            )(images_u8, rrects)
+
         def apply_tensor_hwc(params, t_hwc):
             if model.apply_nhwc is not None:
                 return model.apply_nhwc(params, t_hwc[None])
@@ -194,6 +199,7 @@ class Cnn:
 
         self._apply_on_view = apply_on_view
         self._sample_views_fast = sample_views_fast
+        self._sample_views_letterbox = sample_views_letterbox
         self._sample_view_hwc = sample_view_hwc
         self._apply_tensor_hwc = apply_tensor_hwc
         self._jit = jax.jit(apply_on_view)
@@ -236,6 +242,14 @@ class Cnn:
         ``opts`` forward the sampler's geometry knobs
         (prescale_m/band_p/col_split)."""
         return self._sample_views_fast(images_u8, rrects, **opts)
+
+    def sample_views_letterbox(self, images_u8, rrects):
+        """Batched exact angle-0 view sampling (ops/sampling.py
+        ``letterbox_sample_core``): ``[B,H,W,4] u8`` + ``[B,5]`` unrotated
+        rects → ``[B,h,w,3] f32`` network inputs, bit-identical to the
+        exact per-stream path at any scale — the detection letterbox
+        fast lane."""
+        return self._sample_views_letterbox(images_u8, rrects)
 
     def apply_tensor_hwc(self, params, t_hwc):
         """Applies the network to one pre-sampled ``[h, w, 3]`` f32 input

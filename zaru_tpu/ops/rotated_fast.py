@@ -219,32 +219,58 @@ def _rotate_kernel(
     my = (iota_p == yrel)                                   # [P, lanes]
 
     cp.wait()
+    # The fused 3-channel matmul makes one [3P, lanes] selection
+    # intermediate; fall back to a per-channel loop when that would
+    # crowd VMEM (large full-band configs: P=M, col_split=1).
+    fused3 = 3 * P * lanes * 4 <= 4 * 2**20
     if int8_mxu:
         # u8 pixels don't fit int8; XOR 0x80 re-biases to [-128, 127]
         # (u8 value - 128, exactly). The dot then yields
         # (pixel-128)·[x in window]; masking rows and adding back
         # 128·[x and y in window] reconstructs the exact pixel. All
         # integer arithmetic — bit-identical to the bf16 path, at 2x the
-        # MXU rate. One fused [3P, XW] matmul covers all channels.
+        # MXU rate.
         ohx = (iota_x == xrel).astype(jnp.int8)            # [XW, lanes]
         ind = ((xrel >= 0) & (xrel < XW) & (yrel >= 0) & (yrel < P))
         band_i8 = pltpu.bitcast(band[:] ^ jnp.uint8(0x80), jnp.int8)
-        sel = jnp.dot(
-            band_i8.reshape(3 * P, XW), ohx,
-            preferred_element_type=jnp.int32,
-        ).reshape(3, P, lanes)
-        v = jnp.sum(sel * my[None].astype(jnp.int32), axis=1)  # [3, lanes]
+        my_i = my.astype(jnp.int32)
+        if fused3:
+            sel = jnp.dot(
+                band_i8.reshape(3 * P, XW), ohx,
+                preferred_element_type=jnp.int32,
+            ).reshape(3, P, lanes)
+            v = jnp.sum(sel * my_i[None], axis=1)          # [3, lanes]
+        else:
+            v = jnp.concatenate([
+                jnp.sum(
+                    jnp.dot(band_i8[ch], ohx,
+                            preferred_element_type=jnp.int32) * my_i,
+                    axis=0, keepdims=True,
+                )
+                for ch in range(3)
+            ])
         out = (v + 128 * ind.astype(jnp.int32)).astype(jnp.float32)
     else:
         # bf16 MXU path: u8 values <= 255 < 2^8 are exact in bf16, and
         # one-hot selection is exact — same results as int8.
         ohx = (iota_x == xrel).astype(jnp.bfloat16)        # [XW, lanes]
         band_bf = band[:].astype(jnp.int32).astype(jnp.bfloat16)
-        sel = jnp.dot(
-            band_bf.reshape(3 * P, XW), ohx,
-            preferred_element_type=jnp.float32,
-        ).reshape(3, P, lanes)
-        out = jnp.sum(sel * my[None].astype(jnp.float32), axis=1)
+        my_f = my.astype(jnp.float32)
+        if fused3:
+            sel = jnp.dot(
+                band_bf.reshape(3 * P, XW), ohx,
+                preferred_element_type=jnp.float32,
+            ).reshape(3, P, lanes)
+            out = jnp.sum(sel * my_f[None], axis=1)
+        else:
+            out = jnp.concatenate([
+                jnp.sum(
+                    jnp.dot(band_bf[ch], ohx,
+                            preferred_element_type=jnp.float32) * my_f,
+                    axis=0, keepdims=True,
+                )
+                for ch in range(3)
+            ])
     out_ref[0, 0, 0, :, :] = out
 
 
@@ -304,10 +330,6 @@ def rotated_sample_fast(
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
     # runs in interpreter mode, which jit compiles to plain XLA.
     interpret = interpret or jax.default_backend() != "tpu"
-    # Rows per block: bigger blocks amortize per-block overhead (the
-    # measured kernel limiter); shrink for outputs that don't divide 16.
-    rows_pb = 16 if out_h % 16 == 0 else ROWS_PER_BLOCK
-    assert out_h % rows_pb == 0
     M = prescale_m or PRESCALE_M
     P = min(band_p or BAND_P, M)
     XW = min(win_x or WIN_X, M)
@@ -335,6 +357,15 @@ def rotated_sample_fast(
     # Never silently clip: without a coverage proof, disable the window.
     if not covered(col_split):
         XW = M
+    # Rows per block: bigger blocks amortize per-block overhead (the
+    # measured kernel limiter), capped so wide blocks (full-band configs
+    # with col_split=1) keep their selection intermediates VMEM-friendly.
+    rows_pb = (
+        16
+        if out_h % 16 == 0 and 16 * (out_w // col_split) <= 2048
+        else ROWS_PER_BLOCK
+    )
+    assert out_h % rows_pb == 0
     B = image_u8.shape[0]
     slot_dims = rrect.shape[1:-1]
     rrect_flat = rrect.reshape(B, -1, 5)

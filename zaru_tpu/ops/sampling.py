@@ -38,7 +38,13 @@ import jax.numpy as jnp
 from ..geometry import rrect_transform_out
 from ..num import round_half_away as _round_half_away
 
-__all__ = ["sample_view", "sample_view_rgba", "view_to_tensor", "view_to_tensor_core"]
+__all__ = [
+    "sample_view",
+    "sample_view_rgba",
+    "view_to_tensor",
+    "view_to_tensor_core",
+    "letterbox_sample_core",
+]
 
 
 def _view_grid(rrect, out_w: int, out_h: int, scale_to_view: bool):
@@ -109,6 +115,44 @@ def view_to_tensor_core(
 view_to_tensor = partial(jax.jit, static_argnames=("out_w", "out_h", "layout"))(
     view_to_tensor_core
 )
+
+
+def letterbox_sample_core(image_u8, rrect, out_w: int, out_h: int, lo, hi):
+    """Exact axis-aligned (angle-0) view sample + color map via two 1-D
+    index-vector takes.
+
+    For an unrotated view the sampler grid of ``view_to_tensor_core`` is
+    separable (``rotate_ccw`` at θ=0 is exact in f32: cos=1, sin=0), so two
+    takes reproduce its NHWC output **bit-exactly at any view scale** — no
+    prescale stride quantization — while staying in the fast index-vector
+    gather regime (the XLA pointwise 2-D gather costs ~13 ns/element on
+    TPU). This is the detection fast path: full-frame letterbox fit rects
+    (``full_frame_fit``, detection.rs:224-226) always have angle 0.
+
+    Returns ``[out_h, out_w, 3] f32`` (NHWC, color-mapped).
+    """
+    H, W = image_u8.shape[0], image_u8.shape[1]
+    u = jnp.arange(out_w, dtype=jnp.float32) / np.float32(out_w)
+    v = jnp.arange(out_h, dtype=jnp.float32) / np.float32(out_h)
+    xv = _round_half_away(u * rrect[2])
+    yv = _round_half_away(v * rrect[3])
+    # transform_out at θ=0, replicating rrect_transform_out's f32 op order
+    # exactly: ((pt - center) + center) + top_left.
+    wc = rrect[2] * 0.5
+    hc = rrect[3] * 0.5
+    fx = ((xv + 0.5) - wc) + wc + (rrect[0] - wc)
+    fy = ((yv + 0.5) - hc) + hc + (rrect[1] - hc)
+    xr = _round_half_away(fx - 0.5)
+    yr = _round_half_away(fy - 0.5)
+    # OOB → fill 0 (Color::NONE). Sentinel must be >= size: jnp.take wraps
+    # negative indices (numpy semantics) before fill applies.
+    xi = jnp.where((xr >= 0) & (xr < W), xr, np.float32(W)).astype(jnp.int32)
+    yi = jnp.where((yr >= 0) & (yr < H), yr, np.float32(H)).astype(jnp.int32)
+    rows = jnp.take(image_u8, yi, axis=0, mode="fill", fill_value=0)
+    patch = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)
+    rgb = patch[..., :3].astype(jnp.float32)
+    adjust = (hi - lo) / np.float32(255.0)
+    return rgb * adjust + np.float32(lo)
 
 
 def sample_view(image_u8, rrect, out_w: int, out_h: int):

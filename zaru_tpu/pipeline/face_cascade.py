@@ -140,6 +140,9 @@ class FaceTracker:
         fit, fit_rrect = _ops.full_frame_fit(frame, res)
 
         outputs = self.det_cnn.apply_on_view(params["det"], frame, fit_rrect)
+        return self._detect_tail(outputs, fit, res)
+
+    def _detect_tail(self, outputs, fit, res):
         boxes, conf, kps, angles = self.detector.decode_device(
             outputs, self.detection_threshold
         )
@@ -149,6 +152,25 @@ class FaceTracker:
         rect = _ops.unmap_center_size(avg_box[0], fit, res)
         roi = jnp.concatenate([rect, jnp.zeros(1, jnp.float32)])
         return roi, valid[0]
+
+    def _detect_batch(self, params, frames):
+        """Batched detection for all streams: exact letterbox-sampled
+        crops (the full-frame fit rect has angle 0, so the separable
+        two-take sampler is bit-identical to the per-stream exact path at
+        any scale — ops/sampling.letterbox_sample_core) + one batched
+        BlazeFace pass. Returns (rois [B,5], founds [B])."""
+        res = self.det_cnn.input_resolution()
+        fits = jax.vmap(lambda f: _ops.full_frame_fit(f, res)[0])(frames)
+        rrects = jnp.concatenate(
+            [fits, jnp.zeros((fits.shape[0], 1), jnp.float32)], axis=-1
+        )
+        xs = self.det_cnn.sample_views_letterbox(frames, rrects)
+        outputs = jax.vmap(
+            lambda t: self.det_cnn.apply_tensor_hwc(params["det"], t)
+        )(xs)
+        return jax.vmap(lambda o, f: self._detect_tail(o, f, res))(
+            outputs, fits
+        )
 
     def _track(self, params, state, frame, roi, seeded):
         """One landmark-tracking step (landmark.rs:463-501), traced."""
@@ -381,18 +403,15 @@ class FaceTracker:
             )
 
         def full(_):
-            def pick_roi(roi, tracking, frame):
-                return lax.cond(
-                    tracking,
-                    lambda _: (roi, jnp.asarray(True)),
-                    lambda _: self._detect_roi(params, frame),
-                    None,
-                )
-
-            rois, founds = jax.vmap(pick_roi)(
-                state["roi"], state["tracking"], frames
-            )
-            seeded = ~state["tracking"]
+            # Batched detection for every stream (one fused sampler+CNN
+            # pass — cheaper AND simpler than a vmapped per-stream
+            # lax.cond, which executes both branches anyway), then a
+            # per-stream select keeps tracked streams' carried ROIs.
+            det_rois, det_founds = self._detect_batch(params, frames)
+            tr = state["tracking"]
+            rois = jnp.where(tr[:, None], state["roi"], det_rois)
+            founds = tr | det_founds
+            seeded = ~tr
             new_state, out = self._track_batch(params, state, frames, rois, seeded)
             new_state = dict(new_state, tracking=new_state["tracking"] & founds)
             out = dict(out, valid=out["valid"] & founds)

@@ -106,6 +106,9 @@ class MultiObjectTracker:
         fit, fit_rrect = _ops.full_frame_fit(frame, res)
 
         outputs = self.det_cnn.apply_on_view(params["det"], frame, fit_rrect)
+        return self._detect_tail(outputs, fit, res)
+
+    def _detect_tail(self, outputs, fit, res):
         boxes, conf, kps, angles = self.detector.decode_device(
             outputs, self.detection_threshold
         )
@@ -115,6 +118,26 @@ class MultiObjectTracker:
         )
         rois = self._candidate_rois(avg_box, avg_kps, avg_angle, fit, res)
         return rois, valid
+
+    def _detect_batch(self, params, frames):
+        """Batched detection for all streams (one fused sampler + CNN
+        pass). The full-frame letterbox rect has angle 0, so the exact
+        separable two-take sampler applies (bit-identical to the
+        per-stream exact path at any scale —
+        ops/sampling.letterbox_sample_core). Returns
+        (cand_rois [B,S,5], valid [B,S])."""
+        res = self.det_cnn.input_resolution()
+        fits = jax.vmap(lambda f: _ops.full_frame_fit(f, res)[0])(frames)
+        rrects = jnp.concatenate(
+            [fits, jnp.zeros((fits.shape[0], 1), jnp.float32)], axis=-1
+        )
+        xs = self.det_cnn.sample_views_letterbox(frames, rrects)
+        outputs = jax.vmap(
+            lambda t: self.det_cnn.apply_tensor_hwc(params["det"], t)
+        )(xs)
+        return jax.vmap(lambda o, f: self._detect_tail(o, f, res))(
+            outputs, fits
+        )
 
     def _candidate_rois(self, avg_box, avg_kps, avg_angle, fit, res):
         """NMS'd detections → candidate ROIs [S,5] in image coords.
@@ -271,9 +294,23 @@ class MultiObjectTracker:
         )
 
         def roi_full(_):
-            return jax.vmap(lambda st, fr: self._roi_phase(params, st, fr))(
-                state, frames
+            # Batched detection once for ALL streams (a per-stream cond
+            # under vmap would execute the detector for every stream
+            # anyway, per-stream and unfused), then per-stream slot
+            # assignment only where that stream is due a detection.
+            cand_rois, cand_valid = self._detect_batch(params, frames)
+            do_detect = (~jnp.any(state["active"], axis=1)) | (
+                state["frame"] % self.detect_interval == 0
             )
+
+            def pick(st, cr, cv, do):
+                rois, active = self._assign(st, cr, cv)
+                return (
+                    jnp.where(do, rois, st["rois"]),
+                    jnp.where(do, active, st["active"]),
+                )
+
+            return jax.vmap(pick)(state, cand_rois, cand_valid, do_detect)
 
         def roi_keep(_):
             return state["rois"], state["active"]
