@@ -59,14 +59,42 @@ def save_params_async(path: str | Path, params: dict):
     return ckptr
 
 
-def load_params(path: str | Path) -> dict:
+def load_params(path: str | Path, *, like: dict | None = None) -> dict:
+    """Loads a param pytree.
+
+    ``like`` (optional): a pytree of arrays or ``jax.ShapeDtypeStruct``s
+    carrying ``sharding``s — the restore then places every leaf directly
+    with that sharding (e.g. params replicated or sharded over a
+    ``jax.sharding.Mesh``), so multi-chip training resumes without a
+    host-memory round trip + reshard.
+    """
     path = Path(path)
     if path.suffix == ".npz":
+        if like is not None:
+            import jax
+
+            with np.load(path) as data:
+                return {
+                    k: jax.device_put(data[k], getattr(v, "sharding", None))
+                    for k, v in like.items()
+                }
         with np.load(path) as data:
             return {k: data[k] for k in data.files}
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        import jax
+
+        abstract = jax.tree.map(
+            lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=v.sharding)
+            if hasattr(v, "sharding")
+            else v,
+            like,
+        )
+        return ckptr.restore(
+            path.resolve(), args=ocp.args.StandardRestore(abstract)
+        )
     return ckptr.restore(path.resolve())
 
 
@@ -115,13 +143,31 @@ class CheckpointManager:
             step, args=self._ocp.args.StandardSave(params)
         )
 
-    def restore(self, step: int | None = None) -> dict:
-        """Restores ``step`` (default: the latest saved step)."""
+    def restore(self, step: int | None = None, *, like: dict | None = None) -> dict:
+        """Restores ``step`` (default: the latest saved step).
+
+        ``like``: arrays (or ShapeDtypeStructs) whose ``sharding``s place
+        the restored leaves directly on a mesh (see :func:`load_params`).
+        """
         self.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
             if step is None:
                 raise FileNotFoundError("no checkpoints saved yet")
+        if like is not None:
+            import jax
+
+            abstract = jax.tree.map(
+                lambda v: jax.ShapeDtypeStruct(
+                    v.shape, v.dtype, sharding=v.sharding
+                )
+                if hasattr(v, "sharding")
+                else v,
+                like,
+            )
+            return self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(abstract)
+            )
         return self._mgr.restore(step)
 
     def all_steps(self) -> list[int]:

@@ -142,7 +142,7 @@ def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
 
 def _rotate_kernel(
     coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
-    cols, rows_pb, int8_mxu
+    cols, rows_pb, int8_mxu, hoist_band
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
@@ -179,30 +179,40 @@ def _rotate_kernel(
 
     k0 = (blk * rows_pb).astype(jnp.float32)
     j0 = (cb * cols).astype(jnp.float32)
-    # Band start: min x/y over the block's corners, with slack. The x
-    # window has no envelope (coverage proof at PRESCALE_MARGIN); the y
-    # band's rotation envelope is documented in the module docstring.
-    corners = [
-        q_of(j0 + jc, k0 + kc, rounded=False)
-        for jc in (0.0, float(cols - 1))
-        for kc in (0.0, float(rows_pb - 1))
-    ]
-    xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
-    ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
-    # u8 tiling is (32, 128): dynamic sublane DMA offsets must be
-    # 32-aligned (lane offsets 128-aligned), so the band starts round
-    # down (eating <=31 rows of the P-row envelope; the x window's
-    # <=127-column loss is covered by the margin proof).
-    start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
-    start = pl.multiple_of((start // 32) * 32, 32)
-    xstart = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW)
-    xstart = pl.multiple_of((xstart // 128) * 128, 128)
+    if hoist_band:
+        # Full-band config (P == M, XW == M): the "window" is the whole
+        # planar intermediate at static offset 0, delivered as a regular
+        # VMEM block — Mosaic's pipeline copies it once per view and
+        # reuses it across all (blk, cb) steps (the block index map is
+        # b-only), eliminating the per-block re-DMA.
+        start = xstart = 0
+    else:
+        # Band start: min x/y over the block's corners, with slack. The x
+        # window has no envelope (coverage proof at PRESCALE_MARGIN); the
+        # y band's rotation envelope is documented in the module
+        # docstring.
+        corners = [
+            q_of(j0 + jc, k0 + kc, rounded=False)
+            for jc in (0.0, float(cols - 1))
+            for kc in (0.0, float(rows_pb - 1))
+        ]
+        xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
+        ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
+        # u8 tiling is (32, 128): dynamic sublane DMA offsets must be
+        # 32-aligned (lane offsets 128-aligned), so the band starts round
+        # down (eating <=31 rows of the P-row envelope; the x window's
+        # <=127-column loss is covered by the margin proof).
+        start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
+        start = pl.multiple_of((start // 32) * 32, 32)
+        xstart = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW)
+        xstart = pl.multiple_of((xstart // 128) * 128, 128)
 
-    # One DMA for all three channel bands (rectangular [3, P, XW] copy).
-    cp = pltpu.make_async_copy(
-        planar_ref.at[b, :, pl.ds(start, P), pl.ds(xstart, XW)], band, sem
-    )
-    cp.start()
+        # One DMA for all three channel bands ([3, P, XW] copy).
+        cp = pltpu.make_async_copy(
+            planar_ref.at[b, :, pl.ds(start, P), pl.ds(xstart, XW)], band,
+            sem,
+        )
+        cp.start()
 
     t = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     jj = (t % cols).astype(jnp.float32) + j0
@@ -218,7 +228,10 @@ def _rotate_kernel(
     iota_p = lax.broadcasted_iota(jnp.int32, (P, lanes), 0)
     my = (iota_p == yrel)                                   # [P, lanes]
 
-    cp.wait()
+    if hoist_band:
+        band = planar_ref.at[0]  # [3, M, M] VMEM block for view b
+    else:
+        cp.wait()
     # The fused 3-channel matmul makes one [3P, lanes] selection
     # intermediate; fall back to a per-channel loop when that would
     # crowd VMEM (large full-band configs: P=M, col_split=1).
@@ -387,16 +400,39 @@ def rotated_sample_fast(
     planar = planar.reshape(N, 3, M, M)
     coefs = coefs.reshape(N, coefs.shape[-1])
 
+    # Full-band configs (P == M and XW == M) read the ENTIRE per-view
+    # planar with static offsets, so the window can be a regular VMEM
+    # block whose index map depends only on the view: Mosaic copies it
+    # once per view and reuses it across all (blk, cb) grid steps, instead
+    # of re-issuing the [3, P, XW] DMA per block.
+    hoist_band = P == M and XW == M
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
         cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
+        hoist_band=hoist_band,
     )
+    if hoist_band:
+        kern = lambda coef_ref, planar_ref, out_ref: kernel(
+            coef_ref, planar_ref, out_ref, None, None
+        )
+        planar_spec = pl.BlockSpec(
+            (1, 3, M, M), lambda b, blk, cb: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = []
+    else:
+        kern = kernel
+        planar_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((3, P, XW), jnp.uint8),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     out = pl.pallas_call(
-        kernel,
+        kern,
         grid=(N, n_blocks, col_split),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
-            pl.BlockSpec(memory_space=pl.ANY),  # planar [N, 3, M, M]
+            planar_spec,  # planar [N, 3, M, M]
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),
@@ -405,10 +441,7 @@ def rotated_sample_fast(
         out_shape=jax.ShapeDtypeStruct(
             (N, n_blocks, col_split, 3, lanes), jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((3, P, XW), jnp.uint8),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(coefs, planar)
 
