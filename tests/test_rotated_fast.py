@@ -136,3 +136,35 @@ def test_full_band_arbitrary_rotation(theta):
     valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
     assert valid.mean() > 0.9
     assert (fast[valid] == exact[valid][..., :3]).all()
+
+
+@pytest.mark.parametrize("theta", [0.0, np.pi / 2, 2.6, -2.0, -0.9, 3.14])
+def test_rolled_window_bit_identical(theta):
+    """square_views enables the rolled-window mode (dynamic lane roll
+    instead of DMA alignment) for full-band configs; results must be
+    BIT-identical to the plain full-band kernel at any rotation."""
+    H, W = 540, 960
+    img = coord_image(H, W)
+    # Square views (the mode's coverage-proof precondition), one of them
+    # larger than prescale_m (integer-stride regime).
+    rrects = np.asarray(
+        [
+            [480, 270, 160, 160, theta],
+            [300, 300, 300, 300, theta],
+        ],
+        np.float32,
+    )[None]
+    common = dict(interpret=True, prescale_m=256, band_p=256, col_split=1)
+    plain = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrects), 224, 224,
+            0.0, 255.0, **common,
+        )
+    )
+    rolled = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrects), 224, 224,
+            0.0, 255.0, square_views=True, **common,
+        )
+    )
+    np.testing.assert_array_equal(rolled, plain)

@@ -142,7 +142,7 @@ def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
 
 def _rotate_kernel(
     coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
-    cols, rows_pb, int8_mxu, hoist_band
+    cols, rows_pb, int8_mxu, hoist_band, rolled=False
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
@@ -179,7 +179,27 @@ def _rotate_kernel(
 
     k0 = (blk * rows_pb).astype(jnp.float32)
     j0 = (cb * cols).astype(jnp.float32)
-    if hoist_band:
+    if hoist_band and rolled:
+        # Rolled-window mode (full-band configs with square views): the
+        # whole planar lives in VMEM (Mosaic-reused per view), and each
+        # block takes a [P, XW] window from it with a 32-aligned dynamic
+        # y-slice plus a dynamic LANE ROLL in x — the roll replaces the
+        # 128-lane DMA alignment that otherwise forces XW = M, shrinking
+        # the one-hot contraction ~4x. Coverage: for square views
+        # (w == h ⇒ sx == sy) a block's source span in either axis is
+        # ≤ (M-margin)·(cols+rows_pb)/out_w at ANY rotation (LP over the
+        # prescale bbox constraints), which the caller sizes P/XW to.
+        corners = [
+            q_of(j0 + jc, k0 + kc, rounded=False)
+            for jc in (0.0, float(cols - 1))
+            for kc in (0.0, float(rows_pb - 1))
+        ]
+        xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
+        ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
+        start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
+        start = pl.multiple_of((start // 32) * 32, 32)
+        xstart = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW)
+    elif hoist_band:
         # Full-band config (P == M, XW == M): the "window" is the whole
         # planar intermediate at static offset 0, delivered as a regular
         # VMEM block — Mosaic's pipeline copies it once per view and
@@ -228,10 +248,27 @@ def _rotate_kernel(
     iota_p = lax.broadcasted_iota(jnp.int32, (P, lanes), 0)
     my = (iota_p == yrel)                                   # [P, lanes]
 
-    if hoist_band:
-        band = planar_ref.at[0]  # [3, M, M] VMEM block for view b
+    if hoist_band and rolled:
+        # Window extraction from the resident planar: 32-aligned dynamic
+        # y-slice, then a dynamic lane roll brings source column
+        # ``xstart`` to lane 0 (roll shift M ≡ identity at xstart == 0).
+        # Mosaic's dynamic rotate is 32-bit only, so bitcast packs 4 u8
+        # sublanes per i32 element; columns roll as units, and the
+        # round-trip makes the packing convention irrelevant.
+        shift = M - xstart
+
+        def win(ch):
+            w8 = planar_ref[0, ch, pl.ds(start, P), :]   # [P, M] u8
+            w32 = pltpu.bitcast(w8, jnp.int32)           # [P//4, M]
+            w32 = pltpu.roll(w32, shift, axis=1)[:, :XW]
+            return pltpu.bitcast(w32, jnp.uint8)         # [P, XW]
+
+        band = jnp.stack([win(ch) for ch in range(3)])   # [3, P, XW]
+    elif hoist_band:
+        band = planar_ref[0]  # [3, M, M] for view b, resident in VMEM
     else:
         cp.wait()
+        band = band[:]
     # The fused 3-channel matmul makes one [3P, lanes] selection
     # intermediate; fall back to a per-channel loop when that would
     # crowd VMEM (large full-band configs: P=M, col_split=1).
@@ -245,7 +282,7 @@ def _rotate_kernel(
         # MXU rate.
         ohx = (iota_x == xrel).astype(jnp.int8)            # [XW, lanes]
         ind = ((xrel >= 0) & (xrel < XW) & (yrel >= 0) & (yrel < P))
-        band_i8 = pltpu.bitcast(band[:] ^ jnp.uint8(0x80), jnp.int8)
+        band_i8 = pltpu.bitcast(band ^ jnp.uint8(0x80), jnp.int8)
         my_i = my.astype(jnp.int32)
         if fused3:
             sel = jnp.dot(
@@ -267,7 +304,7 @@ def _rotate_kernel(
         # bf16 MXU path: u8 values <= 255 < 2^8 are exact in bf16, and
         # one-hot selection is exact — same results as int8.
         ohx = (iota_x == xrel).astype(jnp.bfloat16)        # [XW, lanes]
-        band_bf = band[:].astype(jnp.int32).astype(jnp.bfloat16)
+        band_bf = band.astype(jnp.int32).astype(jnp.bfloat16)
         my_f = my.astype(jnp.float32)
         if fused3:
             sel = jnp.dot(
@@ -291,7 +328,7 @@ def _rotate_kernel(
     jax.jit,
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
-        "col_split", "win_x", "int8_mxu",
+        "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
     ),
 )
 def rotated_sample_fast(
@@ -308,6 +345,8 @@ def rotated_sample_fast(
     col_split: int | None = None,
     win_x: int | None = None,
     int8_mxu: bool = True,
+    rows_per_block: int | None = None,
+    square_views: bool = False,
 ):
     """Fast rotated-view sample + color map.
 
@@ -338,6 +377,14 @@ def rotated_sample_fast(
     - ``int8_mxu``: run the one-hot contraction on the MXU in int8 (2x
       bf16 rate). Exact integer math — results are bit-identical to the
       bf16 path; switch off only if a backend lacks int8 matmul.
+    - ``rows_per_block``: override the output rows per kernel block.
+    - ``square_views``: caller promise that every view rect has w == h
+      (true for all cascade ROIs — CNN inputs are square and
+      ``aspect_view_rect`` fits them). Enables the ROLLED-WINDOW mode for
+      full-band configs: a dynamic lane roll replaces DMA alignment so
+      the per-block window shrinks to 128 columns (≈4x less one-hot
+      contraction work) while keeping ANY-rotation coverage. Results are
+      identical for square views; non-square views may read black.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -346,6 +393,39 @@ def rotated_sample_fast(
     M = prescale_m or PRESCALE_M
     P = min(band_p or BAND_P, M)
     XW = min(win_x or WIN_X, M)
+
+    # Rolled-window mode for full-band configs (see _rotate_kernel): with
+    # SQUARE views (w == h ⇒ sx == sy, e.g. every cascade ROI — all CNN
+    # inputs are square and aspect_view_rect fits them) a block's source
+    # span in EITHER axis is ≤ (M - margin)·(cols + rows_pb)/out_w at any
+    # rotation: from the prescale bbox constraints w·c + h·s ≤ (M-m)·s
+    # and w·s + h·c ≤ (M-m)·s (sx == sy == s), each of c·w/s, s·w/s,
+    # c·h/s, s·h/s is ≤ M-m. A dynamic lane roll replaces the 128-lane
+    # DMA alignment, so the window shrinks to 128 columns and the one-hot
+    # contraction drops ~4x. Non-square views may read black — callers
+    # opt in via ``square_views``.
+    rolled = False
+    if square_views and P == M and XW == M and out_w == out_h:
+        for cs in (c for c in range(1, 33) if out_w % c == 0):
+            hit = False
+            for rpb in (32, 16, 8):
+                if out_h % rpb:
+                    continue
+                span = int(
+                    np.ceil(
+                        (M - PRESCALE_MARGIN)
+                        * (out_w // cs + rpb)
+                        / out_w
+                    )
+                ) + 10  # index-rounding wiggle + window back-off slack
+                if span > 128:
+                    continue
+                p_r = min(-(-(span + 31) // 32) * 32, M)
+                col_split, rows_pb, P, XW = cs, rpb, p_r, 128
+                rolled = hit = True
+                break
+            if hit:
+                break
 
     # x-window coverage: a block's source-x span in prescale units is
     #   cols*cos*(w/sx)/out_w + rows*sin*(h/sy)/out_h
@@ -358,26 +438,31 @@ def rotated_sample_fast(
     def covered(cs):
         return XW - 128 >= (M - PRESCALE_MARGIN) / cs + 5
 
-    if col_split is None:
-        # Auto: the smallest divisor of out_w whose blocks the x-window
-        # provably covers (smaller splits = fewer, bigger blocks = less
-        # per-block overhead; span shrinks ∝ 1/col_split).
-        col_split = next(
-            (c for c in range(4, 17) if out_w % c == 0 and covered(c)),
-            4 if out_w % 4 == 0 else 1,
+    if not rolled:
+        if col_split is None:
+            # Auto: the smallest divisor of out_w whose blocks the
+            # x-window provably covers (smaller splits = fewer, bigger
+            # blocks = less per-block overhead; span shrinks ∝
+            # 1/col_split).
+            col_split = next(
+                (c for c in range(4, 17) if out_w % c == 0 and covered(c)),
+                4 if out_w % 4 == 0 else 1,
+            )
+        # Never silently clip: without a coverage proof, disable the
+        # window.
+        if not covered(col_split):
+            XW = M
+        # Rows per block: bigger blocks amortize per-block overhead (the
+        # measured kernel limiter), capped so wide blocks (full-band
+        # configs with col_split=1) keep their selection intermediates
+        # VMEM-friendly. ``rows_per_block`` overrides (bounded by what
+        # VMEM actually fits — Mosaic errors loudly if it doesn't).
+        rows_pb = rows_per_block or (
+            16
+            if out_h % 16 == 0 and 16 * (out_w // col_split) <= 2048
+            else ROWS_PER_BLOCK
         )
     assert out_w % col_split == 0
-    # Never silently clip: without a coverage proof, disable the window.
-    if not covered(col_split):
-        XW = M
-    # Rows per block: bigger blocks amortize per-block overhead (the
-    # measured kernel limiter), capped so wide blocks (full-band configs
-    # with col_split=1) keep their selection intermediates VMEM-friendly.
-    rows_pb = (
-        16
-        if out_h % 16 == 0 and 16 * (out_w // col_split) <= 2048
-        else ROWS_PER_BLOCK
-    )
     assert out_h % rows_pb == 0
     B = image_u8.shape[0]
     slot_dims = rrect.shape[1:-1]
@@ -405,11 +490,11 @@ def rotated_sample_fast(
     # block whose index map depends only on the view: Mosaic copies it
     # once per view and reuses it across all (blk, cb) grid steps, instead
     # of re-issuing the [3, P, XW] DMA per block.
-    hoist_band = P == M and XW == M
+    hoist_band = rolled or (P == M and XW == M)
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
         cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
-        hoist_band=hoist_band,
+        hoist_band=hoist_band, rolled=rolled,
     )
     if hoist_band:
         kern = lambda coef_ref, planar_ref, out_ref: kernel(

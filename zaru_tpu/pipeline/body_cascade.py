@@ -76,7 +76,10 @@ class BodyTracker(MultiObjectTracker):
             # included); body views are large, so the 256-px intermediate
             # subsamples big subjects on an integer-stride grid.
             fast_sampler=True,
-            sampler_opts={"prescale_m": 256, "band_p": 256, "col_split": 1},
+            sampler_opts={
+                "prescale_m": 256, "band_p": 256, "col_split": 1,
+                "square_views": True,  # aspect-fit square landmark input
+            },
         )
 
     def _candidate_rois(self, avg_box, avg_kps, avg_angle, fit, res):

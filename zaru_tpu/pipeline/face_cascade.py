@@ -337,7 +337,8 @@ class FaceTracker:
         # and the full band (band_p == prescale_m) supports any eye
         # rotation without clamping.
         xs = self.eye_cnn.sample_views_fast(
-            frames, rects, prescale_m=256, band_p=256, col_split=1
+            frames, rects, prescale_m=256, band_p=256, col_split=1,
+            square_views=True,  # aspect-fit square 64x64 eye views
         )
         xs = xs.at[:, 1].set(xs[:, 1, :, ::-1, :])           # mirror right eyes
         outputs = jax.vmap(

@@ -68,8 +68,13 @@ class MultiHandTracker(MultiObjectTracker):
             # ±180°), so the fast path uses the sampler's FULL-band
             # configuration (band_p == prescale_m): any rotation, bit-exact
             # for palm views <= 256 px, integer-stride beyond.
+            # square_views holds (aspect_view_rect fits the square 224x224
+            # input), enabling the rolled-window mode (~30% faster).
             fast_sampler=fast_sampler,
-            sampler_opts={"prescale_m": 256, "band_p": 256, "col_split": 1},
+            sampler_opts={
+                "prescale_m": 256, "band_p": 256, "col_split": 1,
+                "square_views": True,
+            },
         )
 
     def _finalize_out(self, out):
