@@ -34,9 +34,11 @@ class Keypoint(enum.IntEnum):
 
 
 @lru_cache(maxsize=None)
-def _cnn() -> Cnn:
+def _cnn(compute_dtype=None) -> Cnn:
     return Cnn(
-        NeuralNetwork.load(model_path("pose_detection.onnx")),
+        NeuralNetwork.load(
+            model_path("pose_detection.onnx"), compute_dtype=compute_dtype
+        ),
         CnnInputShape.NCHW,
         ColorMapper.linear(-1.0, 1.0),
     )
@@ -51,11 +53,12 @@ class PoseNetwork(DetectionNetwork):
     LAYERS = [LayerInfo(2, 28, 28), LayerInfo(2, 14, 14), LayerInfo(6, 7, 7)]
     NUM_KEYPOINTS = 4
 
-    def __init__(self):
+    def __init__(self, compute_dtype=None):
         self._anchors = Anchors.calculate(self.LAYERS)
+        self._compute_dtype = compute_dtype
 
     def cnn(self) -> Cnn:
-        return _cnn()
+        return _cnn(self._compute_dtype)
 
     @property
     def anchors(self) -> Anchors:

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..assets import model_path
 from ..landmark import LandmarkNetwork, Landmarks
-from ..nn import Cnn, CnnInputShape, ColorMapper, Loader
+from ..nn import Cnn, CnnInputShape, ColorMapper, Loader, NeuralNetwork
 from ..num import sigmoid
 
 __all__ = [
@@ -116,11 +116,9 @@ class LandmarkResult:
 
 
 @lru_cache(maxsize=None)
-def _load_cnn(filename: str) -> Cnn:
-    nn = (
-        Loader(model_path(filename))
-        .with_output_selection_by_index([0, 1])
-        .load()
+def _load_cnn(filename: str, compute_dtype=None) -> Cnn:
+    nn = NeuralNetwork.load(
+        model_path(filename), output_subset=[0, 1], compute_dtype=compute_dtype
     )
     return Cnn(nn, CnnInputShape.NCHW, ColorMapper.linear(0.0, 1.0))
 
@@ -128,8 +126,11 @@ def _load_cnn(filename: str) -> Cnn:
 class _PoseLandmark(LandmarkNetwork):
     FILE: str
 
+    def __init__(self, compute_dtype=None):
+        self._compute_dtype = compute_dtype
+
     def cnn(self) -> Cnn:
-        return _load_cnn(self.FILE)
+        return _load_cnn(self.FILE, self._compute_dtype)
 
     def init_estimate(self) -> LandmarkResult:
         return LandmarkResult()

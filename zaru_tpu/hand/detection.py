@@ -55,9 +55,9 @@ def _palm_angle(det) -> float:
 
 
 @lru_cache(maxsize=None)
-def _load_cnn(filename: str) -> Cnn:
+def _load_cnn(filename: str, compute_dtype=None) -> Cnn:
     return Cnn(
-        NeuralNetwork.load(model_path(filename)),
+        NeuralNetwork.load(model_path(filename), compute_dtype=compute_dtype),
         CnnInputShape.NCHW,
         ColorMapper.linear(0.0, 1.0),
     )
@@ -69,11 +69,12 @@ class _Palm(DetectionNetwork):
     LAYERS = [LayerInfo(2, 24, 24), LayerInfo(6, 12, 12)]
     NUM_KEYPOINTS = 7
 
-    def __init__(self):
+    def __init__(self, compute_dtype=None):
         self._anchors = Anchors.calculate(self.LAYERS)
+        self._compute_dtype = compute_dtype
 
     def cnn(self) -> Cnn:
-        return _load_cnn(self.FILE)
+        return _load_cnn(self.FILE, self._compute_dtype)
 
     @property
     def anchors(self) -> Anchors:

@@ -132,9 +132,9 @@ class LandmarkResult:
 
 
 @lru_cache(maxsize=None)
-def _load_cnn(filename: str) -> Cnn:
+def _load_cnn(filename: str, compute_dtype=None) -> Cnn:
     return Cnn(
-        NeuralNetwork.load(model_path(filename)),
+        NeuralNetwork.load(model_path(filename), compute_dtype=compute_dtype),
         CnnInputShape.NCHW,
         ColorMapper.linear(0.0, 1.0),
     )
@@ -143,8 +143,16 @@ def _load_cnn(filename: str) -> Cnn:
 class _HandLandmark(LandmarkNetwork):
     FILE: str
 
+    def __init__(self, compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` runs the network body in bf16
+        (~25-35% faster per model on TPU). CAUTION: measured coordinate
+        deviation vs f32 reached ~21 px (image scale) on out-of-
+        distribution crops — well beyond the 1 px parity budget. Keep f32
+        (the default) unless you validate on your own data."""
+        self._compute_dtype = compute_dtype
+
     def cnn(self) -> Cnn:
-        return _load_cnn(self.FILE)
+        return _load_cnn(self.FILE, self._compute_dtype)
 
     def init_estimate(self) -> LandmarkResult:
         return LandmarkResult()

@@ -60,10 +60,11 @@ class BodyTracker(MultiObjectTracker):
         detection_threshold: float = 0.5,
         presence_threshold: float = 0.5,
         iou_thresh: float = 0.3,
+        compute_dtype=None,
     ):
         super().__init__(
-            detector or PoseNetwork(),
-            landmarker or PoseLite(),
+            detector or PoseNetwork(compute_dtype=compute_dtype),
+            landmarker or PoseLite(compute_dtype=compute_dtype),
             residual_angle=_pose_residual_angle,
             grow_by=GROW_BY,
             roi_padding=ROI_PADDING,

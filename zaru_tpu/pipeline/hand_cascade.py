@@ -52,10 +52,16 @@ class MultiHandTracker(MultiObjectTracker):
         presence_threshold: float = 0.5,
         iou_thresh: float = 0.3,
         fast_sampler: bool = True,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` runs both CNN bodies in bf16 —
+        a serving-speed knob (~25-35% per model). CAUTION: measured
+        landmark deviation vs f32 reached ~21 px on out-of-distribution
+        crops (presence shifted ≤ 0.04); the default stays f32 — validate
+        on real hands before enabling."""
         super().__init__(
-            detector or PalmLite(),
-            landmarker or HandLite(),
+            detector or PalmLite(compute_dtype=compute_dtype),
+            landmarker or HandLite(compute_dtype=compute_dtype),
             residual_angle=_palm_residual_angle,
             grow_by=GROW_BY,
             roi_padding=ROI_PADDING,
