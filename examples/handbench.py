@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
+
+# Honor a CPU override even where sitecustomize force-registers a TPU
+# platform (JAX_PLATFORMS alone is not enough there — see CLAUDE.md).
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 from jax import lax
 

@@ -168,3 +168,21 @@ def test_rolled_window_bit_identical(theta):
         )
     )
     np.testing.assert_array_equal(rolled, plain)
+
+
+def test_rolled_window_small_m_falls_back():
+    """square_views with prescale_m < 128 (the rolled window's fixed
+    width) must fall back to the plain full-band kernel, not crash."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (1, 120, 160, 4), dtype=np.uint8)
+    rrect = np.asarray([[80, 60, 40, 40, 0.8]], np.float32)[None]
+    out = rotated_sample_fast(
+        jnp.asarray(img), jnp.asarray(rrect[0]), 64, 64, 0.0, 255.0,
+        interpret=True, prescale_m=64, band_p=64, win_x=64,
+        col_split=1, square_views=True,
+    )
+    exact = sample_view_rgba(jnp.asarray(img[0]), jnp.asarray(rrect[0, 0]), 64, 64)
+    got = np.asarray(out[0]).round().astype(np.int64)
+    want = np.asarray(exact)[..., :3]
+    # The view is fully in-bounds and bbox <= M: bit-exact everywhere.
+    np.testing.assert_array_equal(got, want)

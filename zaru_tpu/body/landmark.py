@@ -16,7 +16,7 @@ import numpy as np
 
 from ..assets import model_path
 from ..landmark import LandmarkNetwork, Landmarks
-from ..nn import Cnn, CnnInputShape, ColorMapper, Loader, NeuralNetwork
+from ..nn import Cnn, CnnInputShape, ColorMapper, NeuralNetwork
 from ..num import sigmoid
 
 __all__ = [

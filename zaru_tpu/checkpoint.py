@@ -59,6 +59,19 @@ def save_params_async(path: str | Path, params: dict):
     return ckptr
 
 
+def _abstract_like(like: dict):
+    """Pytree of ShapeDtypeStructs carrying each leaf's sharding — the
+    orbax restore target that places leaves directly on their mesh."""
+    import jax
+
+    return jax.tree.map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=v.sharding)
+        if hasattr(v, "sharding")
+        else v,
+        like,
+    )
+
+
 def load_params(path: str | Path, *, like: dict | None = None) -> dict:
     """Loads a param pytree.
 
@@ -84,16 +97,8 @@ def load_params(path: str | Path, *, like: dict | None = None) -> dict:
 
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
-        import jax
-
-        abstract = jax.tree.map(
-            lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=v.sharding)
-            if hasattr(v, "sharding")
-            else v,
-            like,
-        )
         return ckptr.restore(
-            path.resolve(), args=ocp.args.StandardRestore(abstract)
+            path.resolve(), args=ocp.args.StandardRestore(_abstract_like(like))
         )
     return ckptr.restore(path.resolve())
 
@@ -155,18 +160,9 @@ class CheckpointManager:
             if step is None:
                 raise FileNotFoundError("no checkpoints saved yet")
         if like is not None:
-            import jax
-
-            abstract = jax.tree.map(
-                lambda v: jax.ShapeDtypeStruct(
-                    v.shape, v.dtype, sharding=v.sharding
-                )
-                if hasattr(v, "sharding")
-                else v,
-                like,
-            )
             return self._mgr.restore(
-                step, args=self._ocp.args.StandardRestore(abstract)
+                step,
+                args=self._ocp.args.StandardRestore(_abstract_like(like)),
             )
         return self._mgr.restore(step)
 

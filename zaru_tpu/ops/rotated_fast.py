@@ -179,27 +179,7 @@ def _rotate_kernel(
 
     k0 = (blk * rows_pb).astype(jnp.float32)
     j0 = (cb * cols).astype(jnp.float32)
-    if hoist_band and rolled:
-        # Rolled-window mode (full-band configs with square views): the
-        # whole planar lives in VMEM (Mosaic-reused per view), and each
-        # block takes a [P, XW] window from it with a 32-aligned dynamic
-        # y-slice plus a dynamic LANE ROLL in x — the roll replaces the
-        # 128-lane DMA alignment that otherwise forces XW = M, shrinking
-        # the one-hot contraction ~4x. Coverage: for square views
-        # (w == h ⇒ sx == sy) a block's source span in either axis is
-        # ≤ (M-margin)·(cols+rows_pb)/out_w at ANY rotation (LP over the
-        # prescale bbox constraints), which the caller sizes P/XW to.
-        corners = [
-            q_of(j0 + jc, k0 + kc, rounded=False)
-            for jc in (0.0, float(cols - 1))
-            for kc in (0.0, float(rows_pb - 1))
-        ]
-        xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
-        ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
-        start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
-        start = pl.multiple_of((start // 32) * 32, 32)
-        xstart = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW)
-    elif hoist_band:
+    if hoist_band and not rolled:
         # Full-band config (P == M, XW == M): the "window" is the whole
         # planar intermediate at static offset 0, delivered as a regular
         # VMEM block — Mosaic's pipeline copies it once per view and
@@ -207,10 +187,10 @@ def _rotate_kernel(
         # b-only), eliminating the per-block re-DMA.
         start = xstart = 0
     else:
-        # Band start: min x/y over the block's corners, with slack. The x
-        # window has no envelope (coverage proof at PRESCALE_MARGIN); the
-        # y band's rotation envelope is documented in the module
-        # docstring.
+        # Window start: min x/y over the block's corners, with slack.
+        # Dynamic sublane offsets must be 32-aligned (u8 tiling is
+        # (32, 128)), so the y start rounds down, eating <= 31 rows of
+        # the P-row envelope (both modes size P for it).
         corners = [
             q_of(j0 + jc, k0 + kc, rounded=False)
             for jc in (0.0, float(cols - 1))
@@ -218,21 +198,31 @@ def _rotate_kernel(
         ]
         xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
         ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
-        # u8 tiling is (32, 128): dynamic sublane DMA offsets must be
-        # 32-aligned (lane offsets 128-aligned), so the band starts round
-        # down (eating <=31 rows of the P-row envelope; the x window's
-        # <=127-column loss is covered by the margin proof).
         start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
         start = pl.multiple_of((start // 32) * 32, 32)
-        xstart = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW)
-        xstart = pl.multiple_of((xstart // 128) * 128, 128)
+        if rolled:
+            # Rolled-window mode (full-band + square views): the planar
+            # is VMEM-resident; x needs no DMA alignment because the
+            # kernel ROLLS the lanes (below), so the window shrinks to
+            # the coverage bound itself (~4x less one-hot contraction).
+            xstart = jnp.clip(
+                jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
+            )
+        else:
+            # Banded config: per-block DMA; lane offsets must be
+            # 128-aligned (the <=127-column loss is covered by the
+            # x-window margin proof).
+            xstart = jnp.clip(
+                jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW
+            )
+            xstart = pl.multiple_of((xstart // 128) * 128, 128)
 
-        # One DMA for all three channel bands ([3, P, XW] copy).
-        cp = pltpu.make_async_copy(
-            planar_ref.at[b, :, pl.ds(start, P), pl.ds(xstart, XW)], band,
-            sem,
-        )
-        cp.start()
+            # One DMA for all three channel bands ([3, P, XW] copy).
+            cp = pltpu.make_async_copy(
+                planar_ref.at[b, :, pl.ds(start, P), pl.ds(xstart, XW)],
+                band, sem,
+            )
+            cp.start()
 
     t = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     jj = (t % cols).astype(jnp.float32) + j0
@@ -403,14 +393,22 @@ def rotated_sample_fast(
     # c·h/s, s·h/s is ≤ M-m. A dynamic lane roll replaces the 128-lane
     # DMA alignment, so the window shrinks to 128 columns and the one-hot
     # contraction drops ~4x. Non-square views may read black — callers
-    # opt in via ``square_views``.
+    # opt in via ``square_views``. NB: rolled mode picks its own blocking
+    # (col_split and, unless ``rows_per_block`` is given, rows per block)
+    # — the caller's full-band ``col_split`` marker is deliberately
+    # overridden. It needs M >= 128 (the fixed window width); smaller
+    # intermediates fall back to the plain full-band kernel.
     rolled = False
-    if square_views and P == M and XW == M and out_w == out_h:
+    if square_views and P == M and XW == M and out_w == out_h and M >= 128:
+        rpb_choices = [rows_per_block] if rows_per_block else [32, 16, 8]
         for cs in (c for c in range(1, 33) if out_w % c == 0):
             hit = False
-            for rpb in (32, 16, 8):
+            for rpb in rpb_choices:
                 if out_h % rpb:
                     continue
+                # Conservative span bound (the sum is looser than the
+                # true per-axis max — keep it; the margin also covers
+                # index-rounding wiggle, via the +10).
                 span = int(
                     np.ceil(
                         (M - PRESCALE_MARGIN)
@@ -420,6 +418,9 @@ def rotated_sample_fast(
                 ) + 10  # index-rounding wiggle + window back-off slack
                 if span > 128:
                     continue
+                # +31: the y-start rounds DOWN to a 32-sublane multiple
+                # in the kernel, eating up to 31 window rows; the x roll
+                # needs no such allowance (unaligned).
                 p_r = min(-(-(span + 31) // 32) * 32, M)
                 col_split, rows_pb, P, XW = cs, rpb, p_r, 128
                 rolled = hit = True
