@@ -96,12 +96,17 @@ def _prescale_planar(image_u8, rrect, M: int):
     xi = jnp.where((xs >= 0) & (xs < W), xs, np.float32(W)).astype(jnp.int32)
     yi = jnp.where((ys >= 0) & (ys < H), ys, np.float32(H)).astype(jnp.int32)
     # Rows FIRST: M dynamic-slices of CONTIGUOUS frame rows (7.7 KB each
-    # at 1080p). Column-first take is a strided column gather over the
-    # whole frame — 4-byte touches at row-pitch stride — measured ~2x
-    # slower overall (10.9 vs 5.9 ms/step at batch 128; an MXU one-hot
-    # column select measured no better than the second take).
-    rows = jnp.take(image_u8, yi, axis=0, mode="fill", fill_value=0)
-    patch = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)  # [M, M, 4]
+    # at 1080p); column-first gathers at row-pitch stride measured ~2x
+    # slower. The takes run on the frame bitcast to u32 (one RGBA pixel
+    # per element): a u8[..., 4] column take scalarizes to per-byte
+    # touches (~3.4 ms of the 14.8 ms prescale at batch 128) while the
+    # u32 form gathers whole pixels and costs the same as the row take
+    # alone (~11.4 ms total). Pure relayout — bit-identical, and the
+    # OOB fill 0 is RGBA(0,0,0,0) in either form.
+    image_u32 = lax.bitcast_convert_type(image_u8, jnp.uint32)  # [H, W]
+    rows = jnp.take(image_u32, yi, axis=0, mode="fill", fill_value=0)
+    patch32 = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)  # [M, M]
+    patch = lax.bitcast_convert_type(patch32, jnp.uint8)  # [M, M, 4]
     planar = jnp.transpose(patch[..., :3], (2, 0, 1))  # [3, M, M]
     return planar, left, top, sx, sy
 
