@@ -145,11 +145,17 @@ def letterbox_sample_core(image_u8, rrect, out_w: int, out_h: int, lo, hi):
     xr = _round_half_away(fx - 0.5)
     yr = _round_half_away(fy - 0.5)
     # OOB → fill 0 (Color::NONE). Sentinel must be >= size: jnp.take wraps
-    # negative indices (numpy semantics) before fill applies.
+    # negative indices (numpy semantics) before fill applies. The takes
+    # run on the frame bitcast to u32 (one RGBA pixel per element): u8
+    # column takes scalarize to per-byte touches on TPU while u32 takes
+    # gather whole pixels (~2x; same trick as ops/rotated_fast's
+    # prescale). Pure relayout — bit-identical, OOB fill 0 included.
     xi = jnp.where((xr >= 0) & (xr < W), xr, np.float32(W)).astype(jnp.int32)
     yi = jnp.where((yr >= 0) & (yr < H), yr, np.float32(H)).astype(jnp.int32)
-    rows = jnp.take(image_u8, yi, axis=0, mode="fill", fill_value=0)
-    patch = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)
+    image_u32 = jax.lax.bitcast_convert_type(image_u8, jnp.uint32)  # [H, W]
+    rows = jnp.take(image_u32, yi, axis=0, mode="fill", fill_value=0)
+    patch32 = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)
+    patch = jax.lax.bitcast_convert_type(patch32, jnp.uint8)  # [h, w, 4]
     rgb = patch[..., :3].astype(jnp.float32)
     adjust = (hi - lo) / np.float32(255.0)
     return rgb * adjust + np.float32(lo)
