@@ -139,20 +139,19 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
 
         return lax.scan(body, state, jnp.arange(SCAN_STEPS))
 
-    t0 = time.perf_counter()
-    # Establish tracking via the GATED step (first frame: nothing tracks →
-    # batched detection branch). This is the same program report_p50 reuses
-    # and shares the measured scan's structure — the legacy per-stream
-    # vmapped step would be a separate multi-minute compile for nothing.
-    state, out = tracker.run_frames_gated(state, frames)
-    _sync = np.asarray(out["confidence"])
-    log(f"[B={batch}] single-step compile+detect: {time.perf_counter() - t0:.1f}s")
-    assert bool(np.asarray(out["valid"]).all()), "tracking not established"
+    # Setup = the measured scan program itself: its t=0 forced detection
+    # establishes tracking, so no separate single-step program is needed.
+    # (The standalone gated step consistently MISSES the persistent
+    # compile cache across processes — 160-840 s per bench run through
+    # the remote compile service — while the scan program reliably hits;
+    # keep the unreliable compile off the critical path. report_p50
+    # still compiles the gated step, but only after the fps windows are
+    # already streamed.)
     t0 = time.perf_counter()
     state, confs = run_scan(tracker.params, state, frames)
     confs = np.asarray(confs)
-    log(f"[B={batch}] scan compile: {time.perf_counter() - t0:.1f}s")
-    assert bool(confs[-1].min() > 0.5), "tracking lost in scan"
+    log(f"[B={batch}] scan compile+detect: {time.perf_counter() - t0:.1f}s")
+    assert bool(confs[-1].min() > 0.5), "tracking not established in scan"
 
     def one_window():
         # NB: np.asarray forces a real device->host readback; through this
