@@ -87,6 +87,18 @@ def load_params(path: str | Path, *, like: dict | None = None) -> dict:
             import jax
 
             with np.load(path) as data:
+                missing = sorted(set(like) - set(data.files))
+                if missing:
+                    raise KeyError(
+                        f"checkpoint {path} is missing params {missing} "
+                        f"(has {sorted(data.files)})"
+                    )
+                extra = sorted(set(data.files) - set(like))
+                if extra:
+                    raise ValueError(
+                        f"checkpoint {path} has params {extra} not in the "
+                        "restore target; pass a matching `like` tree"
+                    )
                 return {
                     k: jax.device_put(data[k], getattr(v, "sharding", None))
                     for k, v in like.items()

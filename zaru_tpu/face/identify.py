@@ -203,9 +203,15 @@ class StreamIdentifier:
         norm = jnp.linalg.norm(embs, axis=-1, keepdims=True)
         return embs / jnp.maximum(norm, 1e-12)
 
-    def step(self, params, state, frames, gallery=None):
-        """(state, frames [B,H,W,4]) → (state, outputs + identity)."""
+    def step(self, params, state, frames, gallery=None, threshold=None):
+        """(state, frames [B,H,W,4]) → (state, outputs + identity).
+
+        ``threshold`` defaults to ``self.threshold``; pass it as a traced
+        argument (like :meth:`run_frames` does) when it may change after
+        the first call — a jitted trace bakes the default in as a
+        constant."""
         gallery = self._gallery if gallery is None else gallery
+        threshold = self.threshold if threshold is None else threshold
         new_state, out = self.tracker.step_batch(params, state, frames)
         embs = self._embed_batch(params, frames, out["roi"])
         if gallery.shape[0] == 0:
@@ -218,7 +224,7 @@ class StreamIdentifier:
             )  # [B, G]
             ident = jnp.argmin(d, axis=-1).astype(jnp.int32)
             dist = jnp.min(d, axis=-1)
-            ok = out["valid"] & (dist <= self.threshold)
+            ok = out["valid"] & (dist <= threshold)
             ident = jnp.where(ok, ident, -1)
             dist = jnp.where(out["valid"], dist, jnp.inf)
         out = dict(out, identity=ident, identity_distance=dist, embedding=embs)
@@ -228,7 +234,10 @@ class StreamIdentifier:
 
     def run_frames(self, state, frames):
         """Jitted batched tracking + identification step."""
-        return self._step(self.params, state, frames, self._gallery)
+        return self._step(
+            self.params, state, frames, self._gallery,
+            jnp.float32(self.threshold),
+        )
 
 
 def _roi_corners(roi):

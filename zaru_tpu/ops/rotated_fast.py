@@ -440,9 +440,10 @@ def rotated_sample_fast(
     # at (M-margin)*cols/out_w — independent of rotation. The usable
     # window past a block's xmin is XW - 128 (128-alignment + floor), and
     # index rounding adds <= ~2.5 px of wiggle per side (two-stage
-    # round-half-away, |c|+|s| <= sqrt(2)); 5 px of slack covers it.
+    # round-half-away, |c|+|s| <= sqrt(2)) plus up to ~2 px of additional
+    # margin error at stride > 1; 10 px of slack covers both with room.
     def covered(cs):
-        return XW - 128 >= (M - PRESCALE_MARGIN) / cs + 5
+        return XW - 128 >= (M - PRESCALE_MARGIN) / cs + 10
 
     if not rolled:
         if col_split is None:
