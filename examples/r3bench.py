@@ -1,0 +1,259 @@
+#!/usr/bin/env python3
+"""Round-3 TPU measurement batch: sampler rework A/B + cascade cadence.
+
+Runs ON the TPU (tunnel). One process so the remote-compile service wait
+amortizes; results stream to stderr and append to a JSON-lines file so a
+wedged run still leaves data.
+
+Usage: python examples/r3bench.py [out.jsonl] [which ...]
+  which ∈ {parity, sampler, cascade, detect} (default: all)
+
+Timing honesty: every window forces a device→host readback (np.asarray);
+jax.block_until_ready does NOT block through this tunnel (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r3bench.jsonl"
+WHICH = set(sys.argv[2:]) or {"parity", "sampler", "cascade", "detect", "bf16"}
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(rec):
+    rec = dict(rec, t=round(time.time()))
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    log("RESULT", json.dumps(rec))
+
+
+def readback(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def make_frame():
+    import cv2
+
+    from zaru_tpu.assets import fixture_path
+    from zaru_tpu.image import decode as idec
+
+    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
+    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
+    return np.concatenate(
+        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
+    )
+
+
+def timed_windows(fn, *args, n=4, label=""):
+    """Best-of-n scan-window seconds with real readback."""
+    t0 = time.perf_counter()
+    readback(fn(*args))
+    log(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        readback(fn(*args))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"[{label}] window {dt * 1e3:.1f} ms")
+    return best
+
+
+B = 128
+STEPS = 16
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"on {dev.platform} ({dev.device_kind})")
+    frame = make_frame()
+    frame_dev = jax.device_put(jnp.asarray(frame))
+    frames = jax.jit(
+        lambda f: jnp.broadcast_to(f[None], (B, *f.shape)) + 0
+    )(frame_dev)
+    readback(frames)
+
+    # The bench-like tracked view: centered square ~836 px (the fixture's
+    # tracked ROI is ~844 bbox at stride 2), rotated per-config.
+    def rects(theta, size=836.0):
+        rr = np.zeros((B, 5), np.float32)
+        rr[:] = [1038.0, 595.0, size, size, theta]
+        return jnp.asarray(rr)
+
+    from zaru_tpu.ops.rotated_fast import rotated_sample_fast
+
+    if "parity" in WHICH:
+        # ADVICE #4: the rolled-window mode's guarantees depend on
+        # pltpu.roll semantics matching the interpreter — verify rolled
+        # == plain full-band ON DEVICE, plus pallas-prescale == take.
+        img = np.asarray(frame[None])
+        for theta in (0.3, 1.2, -2.1):
+            rr = jnp.asarray(
+                np.asarray([[960, 540, 420, 420, theta]], np.float32)
+            )
+            common = dict(out_w=192, out_h=192, lo=0.0, hi=255.0)
+            plain = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **common,
+                    band_p=512, col_split=1, pallas_prescale=False,
+                )
+            )
+            rolled = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **common,
+                    band_p=512, col_split=1, square_views=True,
+                    pallas_prescale=False,
+                )
+            )
+            pp = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **common,
+                    band_p=512, col_split=1, square_views=True,
+                    pallas_prescale=True,
+                )
+            )
+            emit({
+                "check": "device_parity", "theta": theta,
+                "rolled_eq_plain": bool((rolled == plain).all()),
+                "pallas_prescale_eq": bool((pp == rolled).all()),
+                "max_abs_diff": float(np.abs(rolled - plain).max()),
+                "pp_max_abs_diff": float(np.abs(pp - rolled).max()),
+            })
+
+    def scan_sampler(label, theta=0.12, **opts):
+        @jax.jit
+        def run(fr, rr):
+            def body(c, _):
+                out = rotated_sample_fast(
+                    fr, rr + c * 1e-6, 192, 192, 0.0, 1.0, **opts
+                )
+                return c + 1.0, out[:, 0, 0, 0]
+
+            _, outs = lax.scan(body, 0.0, None, length=STEPS)
+            return outs
+
+        dt = timed_windows(run, frames, rects(theta), label=label)
+        per_step = dt / STEPS * 1e3
+        emit({"bench": "sampler", "config": label, "ms_per_step":
+              round(per_step, 2), "fps": round(B * STEPS / dt)})
+
+    if "sampler" in WHICH:
+        # A/B the round-3 rework at the serving view size (stride 2).
+        scan_sampler("take+banded (round2 default)",
+                     pallas_prescale=False)
+        scan_sampler("pallas+banded", pallas_prescale=True)
+        scan_sampler("take+rolled", pallas_prescale=False,
+                     band_p=512, col_split=1, square_views=True)
+        scan_sampler("pallas+rolled (round3 default)", pallas_prescale=True,
+                     band_p=512, col_split=1, square_views=True)
+        # Tilted views: the rolled mode's cost should be rotation-flat.
+        scan_sampler("pallas+rolled theta=1.0", theta=1.0,
+                     pallas_prescale=True,
+                     band_p=512, col_split=1, square_views=True)
+        # Small (stride-1) views — the other serving regime.
+        @jax.jit
+        def run_small(fr, rr):
+            def body(c, _):
+                out = rotated_sample_fast(
+                    fr, rr + c * 1e-6, 192, 192, 0.0, 1.0,
+                    pallas_prescale=True, band_p=512, col_split=1,
+                    square_views=True,
+                )
+                return c + 1.0, out[:, 0, 0, 0]
+
+            _, outs = lax.scan(body, 0.0, None, length=STEPS)
+            return outs
+
+        dt = timed_windows(run_small, frames, rects(0.12, size=360.0),
+                           label="pallas+rolled 360px")
+        emit({"bench": "sampler", "config": "pallas+rolled 360px",
+              "ms_per_step": round(dt / STEPS * 1e3, 2),
+              "fps": round(B * STEPS / dt)})
+
+    if "cascade" in WHICH:
+        from zaru_tpu.pipeline import FaceTracker
+
+        for label, kw in [
+            ("round3 rolled any-rotation", {}),
+            ("round2 banded cfg", {"sampler_opts": {}}),
+        ]:
+            tracker = FaceTracker(**kw)
+            state = tracker.init_state(batch=B)
+
+            @jax.jit
+            def run_scan(params, state, fr):
+                def body(st, t):
+                    st, out = tracker.step_batch(params, st, fr, t % 9 == 0)
+                    return st, out["confidence"]
+
+                return lax.scan(body, state, jnp.arange(STEPS))
+
+            t0 = time.perf_counter()
+            state, confs = run_scan(tracker.params, state, frames)
+            confs = np.asarray(confs)
+            log(f"[cascade {label}] compile+detect "
+                f"{time.perf_counter() - t0:.1f}s conf {confs[-1].min():.2f}")
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _s, confs = run_scan(tracker.params, state, frames)
+                np.asarray(confs)
+                best = min(best, time.perf_counter() - t0)
+                log(f"[cascade {label}] window {best * 1e3:.0f} ms best")
+            emit({"bench": "cascade", "config": label,
+                  "ms_per_step": round(best / STEPS * 1e3, 2),
+                  "fps": round(B * STEPS / best),
+                  "tracked": float(confs[-1].min())})
+
+    if "detect" in WHICH:
+        # Landmark-half isolation (sampler + CNN + decode, no gate).
+        from zaru_tpu.pipeline import FaceTracker
+
+        tracker = FaceTracker()
+        state = tracker.init_state(batch=B)
+        state, _ = jax.jit(
+            lambda p, s, f: tracker.step_batch(p, s, f, True)
+        )(tracker.params, state, frames)
+
+        @jax.jit
+        def run_track(params, state, fr):
+            def body(st, _):
+                st, out = tracker._track_batch(
+                    params, st, fr, st["roi"],
+                    jnp.zeros_like(st["tracking"]),
+                )
+                return st, out["confidence"]
+
+            return lax.scan(body, state, None, length=STEPS)
+
+        dt = timed_windows(run_track, tracker.params, state, frames,
+                           label="landmark-half")
+        emit({"bench": "landmark_half",
+              "ms_per_step": round(dt / STEPS * 1e3, 2),
+              "fps": round(B * STEPS / dt)})
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -265,3 +265,77 @@ def test_landmarks_mutable_after_extract(sad_linus_cropped):
     res.landmarks_mut().set(0, Landmark([1.0, 2.0, 3.0]))
     res.landmarks_mut().positions()[1] = [4.0, 5.0, 6.0]
     np.testing.assert_allclose(res.landmarks_mut().positions()[0], [1, 2, 3])
+
+
+class TestAnyRotationTracking:
+    """Round-3: the serving path samples rotated views EXACTLY at any
+    angle (rolled-window full-band sampler) — the round-2 ±0.5 rad view
+    clamp is gone. Reference semantics: image/mod.rs:224-247."""
+
+    @pytest.mark.parametrize("deg", [55.0, 80.0])
+    def test_tilted_face_matches_exact_sampler(self, sad_linus_full, deg):
+        """Drive both sampler paths on a strongly tilted photo: they must
+        stay locked and produce IDENTICAL landmarks every frame (the old
+        clamped path diverged from the exact sampler past ~29 deg)."""
+        import cv2
+
+        rgba = np.asarray(sad_linus_full.data)
+        h, w = rgba.shape[:2]
+        mat = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 0.9)
+        rot = cv2.warpAffine(rgba, mat, (w, h))
+        frame = jnp.asarray(rot)[None]
+
+        fast = FaceTracker(smooth=None)
+        exact = FaceTracker(smooth=None, fast_sampler=False)
+        sf = fast.init_state(batch=1)
+        se = exact.init_state(batch=1)
+        for i in range(4):
+            sf, of = fast.run_frames_gated(sf, frame)
+            se, oe = exact.run_frames_gated(se, frame)
+            assert bool(of["valid"][0]), f"fast path lost face at frame {i}"
+            assert bool(oe["valid"][0]), f"exact path lost face at frame {i}"
+            err = np.abs(
+                np.asarray(of["landmarks"])[0, :, :2]
+                - np.asarray(oe["landmarks"])[0, :, :2]
+            ).max()
+            assert err < 1.0, f"deviation {err}px at {deg} deg frame {i}"
+
+    def test_large_view_angle_parity(self, sad_linus_full):
+        """Track step with the view rect pinned at 60 deg rotation — well
+        past the deleted clamp — must match the exact sampler to <1px.
+        Exercises the rolled-window sampler inside the cascade directly."""
+        frame = jnp.asarray(sad_linus_full.data)[None]
+        fast = FaceTracker(smooth=None)
+        exact = FaceTracker(smooth=None, fast_sampler=False)
+
+        # Seed a tracking state, then force a strongly rotated ROI.
+        state = fast.init_state(batch=1)
+        state, _ = fast.run_frames_gated(state, frame)
+        base = np.array(state["roi"])
+
+        for size_scale, tol in [
+            # Scaled so the 60-deg bbox stays <= 2*PRESCALE_M: stride-2
+            # sampling, <=1 source px index error -> ~1px landmarks.
+            (0.7, 1.5),
+            # Full tracked size: bbox ~1144 at 60 deg -> stride 3 on the
+            # take-fallback path, index error <= 2 source px (documented
+            # integer-stride subsampling; ops/rotated_fast.py).
+            (1.0, 8.0),
+        ]:
+            roi = base.copy()
+            roi[:, 2:4] *= size_scale
+            roi[:, 4] = np.radians(60.0)
+            st = dict(state, roi=jnp.asarray(roi),
+                      tracking=jnp.ones(1, bool))
+            no_seed = jnp.zeros(1, bool)
+            _, of = jax.jit(fast._track_batch)(
+                fast.params, st, frame, st["roi"], no_seed
+            )
+            _, oe = jax.jit(exact._track_batch)(
+                exact.params, st, frame, st["roi"], no_seed
+            )
+            err = np.abs(
+                np.asarray(of["landmarks"])[0, :, :2]
+                - np.asarray(oe["landmarks"])[0, :, :2]
+            ).max()
+            assert err < tol, f"60-deg view deviation {err}px @ {size_scale}"

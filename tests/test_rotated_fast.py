@@ -186,3 +186,89 @@ def test_rolled_window_small_m_falls_back():
     want = np.asarray(exact)[..., :3]
     # The view is fully in-bounds and bbox <= M: bit-exact everywhere.
     np.testing.assert_array_equal(got, want)
+
+
+PALLAS_PRESCALE_CASES = [
+    # stride 1, rotated
+    (960, 540, 300, 300, 0.35),
+    # stride 2 (bbox ~844 — the 1080p serving regime), strong rotation
+    (960, 540, 700, 700, 0.9),
+    # near-edge: crop window clamps at the frame border
+    (1800, 1000, 400, 400, -0.6),
+    # past-edge: part of the view is OOB (black fill)
+    (60, 60, 300, 300, 1.2),
+]
+
+
+@pytest.mark.parametrize("case", PALLAS_PRESCALE_CASES)
+def test_pallas_prescale_bit_identical(case):
+    """The crop-resident Pallas prescale must match the XLA take path
+    BIT-identically wherever its batch-scalar coverage predicate admits
+    the batch (strides <= 2, bboxes within the static crop window)."""
+    from zaru_tpu.ops.rotated_fast import _prescale_coverage_ok
+
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([case], np.float32)
+    # The predicate must actually admit these cases — otherwise the
+    # Pallas branch silently never runs and this test checks nothing.
+    assert bool(
+        _prescale_coverage_ok(jnp.asarray(rrect), PRESCALE_M, H, W)
+    ), "coverage predicate rejected a case meant to exercise the kernel"
+    args = (jnp.asarray(img[None]), jnp.asarray(rrect), 192, 192, 0.0, 255.0)
+    via_pallas = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=True)
+    )
+    via_take = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=False)
+    )
+    np.testing.assert_array_equal(via_pallas, via_take)
+
+
+def test_pallas_prescale_fallback_large_view():
+    """Views beyond the kernel's static coverage (stride >= 3) must take
+    the XLA fallback branch of the cond and still sample correctly."""
+    from zaru_tpu.ops.rotated_fast import _prescale_coverage_ok
+
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([[960, 540, 1500, 900, 0.1]], np.float32)
+    assert not bool(
+        _prescale_coverage_ok(jnp.asarray(rrect), PRESCALE_M, H, W)
+    )
+    args = (jnp.asarray(img[None]), jnp.asarray(rrect), 192, 192, 0.0, 255.0)
+    via_cond = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=True)
+    )
+    via_take = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=False)
+    )
+    np.testing.assert_array_equal(via_cond, via_take)
+
+
+def test_pallas_prescale_rolled_any_rotation():
+    """Pallas prescale + rolled-window rotate (the face serving config)
+    at strong rotation, stride 1: every output within the documented
+    <=1 source px of the exact sampler, and all but f32 rounding-edge
+    pixels (<0.1%) bit-identical."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([900, 500, 360, 360, -1.1], np.float32)
+    exact = np.asarray(
+        sample_view_rgba(jnp.asarray(img), jnp.asarray(rrect), 192, 192)
+    )
+    fast = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrect[None]), 192, 192,
+            0.0, 255.0, interpret=True,
+            band_p=PRESCALE_M, col_split=1, square_views=True,
+        )[0]
+    ).round().astype(np.int64)
+    valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
+    assert valid.mean() > 0.9
+    ex_x, ex_y = decode(exact)
+    fa_x, fa_y = decode(fast)
+    assert np.abs(ex_x - fa_x)[valid].max() <= 1
+    assert np.abs(ex_y - fa_y)[valid].max() <= 1
+    exact_frac = (fast[valid] == exact[valid][..., :3]).all(-1).mean()
+    assert exact_frac > 0.999, exact_frac

@@ -5,21 +5,34 @@ XLA pointwise 2-D gather. On TPU that lowers to per-element accesses at
 ~13 ns/element: at batch 128 the 192x192 landmark crop costs ~61 ms/step —
 87% of the whole fused-cascade step (see BENCHMARKS.md). This module
 replaces it for the fused serving path with a formulation made of dense
-TPU-native ops only (takes with small index vectors, one-hot MXU matmuls,
-sublane mask-reductions), no pointwise gathers:
+TPU-native ops only (DMA'd crops, one-hot MXU matmuls, sublane
+mask-reductions), no pointwise gathers:
 
-1. **Prescale** (XLA): the rotated view's axis-aligned bounding box is
-   NN-resampled to a static planar intermediate ``[3, M, M]`` with two
-   1-D row/column takes (index vectors of length M — cheap, unlike
-   per-pixel index matrices; rows first for contiguous reads). OOB
-   pixels become 0 like the exact sampler.
-2. **Rotate** (Pallas): for each block of 16 output rows x (out_w /
-   col_split) columns, DMA the [3, P, XW] band of the intermediate
-   covering the block's source extent into VMEM (corner-derived dynamic
-   offsets), select source *columns* with one fused int8 one-hot MXU
-   matmul ``band[3P,XW] @ onehot[XW,lanes]`` (u8 re-biased via XOR 0x80;
-   exact integer math at 2x the bf16 MXU rate) and source *rows* with a
-   sublane mask-reduction — dense, exact selections throughout.
+1. **Prescale**: the rotated view's axis-aligned bounding box is
+   NN-resampled to a static u32 intermediate ``[M, M]`` (one RGBA pixel
+   per element) on an integer-stride grid. Two implementations selected
+   by a batch-scalar ``lax.cond``:
+
+   - a Pallas kernel (the fast lane): the bbox-covering frame window is
+     DMA'd ONCE per view into VMEM, then rows and columns are selected
+     with blocked one-hot int8 MXU matmuls (round 2's XLA index-vector
+     ``take`` implementation was gather-overhead-bound: its row take
+     alone cost ~8.6 ms of the ~21 ms cascade step at batch 128);
+   - the original XLA take path as exact fallback for views the static
+     crop window can't cover (stride > 2, bbox beyond the crop size,
+     frames narrower than the aligned crop).
+
+   OOB pixels become 0 like the exact sampler, and both paths are
+   index-for-index identical (integer source indices on the same grid).
+2. **Rotate** (Pallas): for each block of output rows x (out_w /
+   col_split) columns, obtain the [P, XW] u32 window of the intermediate
+   covering the block's source extent (per-block DMA, resident full-band
+   reuse, or a dynamic lane roll — see the mode notes below), unpack the
+   3 channels with VPU shifts, select source *columns* with one fused
+   int8 one-hot MXU matmul ``band[3P,XW] @ onehot[XW,lanes]`` (values
+   re-biased by -128; exact integer math at 2x the bf16 MXU rate) and
+   source *rows* with a sublane mask-reduction — dense, exact selections
+   throughout.
 
 Accuracy: selection is exact; the approximation is in the index math —
 the exact path's intermediate rounding (view-grid quantization +
@@ -29,9 +42,9 @@ path's choice. For typical ROIs (bbox <= M) that is <=1 source pixel, and
 landmark outputs stay within the <=1 px parity budget (BASELINE.json);
 tests/test_rotated_fast.py pins this against the exact sampler. Views
 rotated beyond ``arcsin((P-8)/out_h / scale)`` (~38 deg at scale 1,
-P=128) fall outside the banded window and read black — callers keep the
-exact path when that matters (reference semantics: crates/zaru/src/
-image/mod.rs:224-247 + nn/mod.rs:54-80).
+P=128) fall outside the banded window and read black — callers use the
+full-band / rolled-window configurations when that matters (reference
+semantics: crates/zaru/src/image/mod.rs:224-247 + nn/mod.rs:54-80).
 """
 
 from __future__ import annotations
@@ -54,6 +67,18 @@ WIN_X = 256       # band columns per block (x-window; no envelope, see below)
 ROWS_PER_BLOCK = 8
 PRESCALE_MARGIN = 2.0  # prescale bbox slack (matches the exact path)
 
+# Pallas-prescale blocking: RQ x CQ output chunks selected per matmul pair
+# from a per-view VMEM-resident frame crop. Strides are bounded at 2 (the
+# XLA take path covers the rest via the batch-scalar cond), so a row chunk
+# reads <= 2*(RQ-1)+1 source rows (+7 sublane alignment) and a column
+# chunk <= 2*(CQ-1)+1 source columns (+127 lane alignment).
+PRESCALE_RQ = 64     # output rows per row-chunk
+PRESCALE_CQ = 128    # output columns per column-chunk
+PRESCALE_RW = 160    # source rows read per row-chunk (2*63+1+7 -> 32-mult)
+PRESCALE_CWW = 384   # source cols read per col-chunk (2*127+1+127 -> 128-mult)
+PRESCALE_SMAX = 2    # max integer stride the kernel's windows cover
+CROP_MAX = 1024      # default max view bbox the static crop targets
+
 
 def _rha(x):
     """round-half-away for the non-negative index range (floor(x+0.5));
@@ -61,14 +86,15 @@ def _rha(x):
     return jnp.floor(x + 0.5)
 
 
-def _prescale_planar(image_u8, rrect, M: int):
-    """NN-resample the rotated view's bounding box to planar [3, M, M] u8.
+def _prescale_geometry(rrect, M: int):
+    """Shared integer-grid geometry for both prescale implementations.
 
-    Returns (planar, left, top, sx, sy): the sample grid is
-    ``x(q) = rha(left + (q+0.5)*sx - 0.5)`` (and same for y), with OOB
-    pixels zeroed (Color::NONE semantics, image/mod.rs:239-247).
+    Returns ``(left, top, sx, sy)`` f32: the sample grid is
+    ``x(q) = rha(left + (q+0.5)*sx - 0.5)`` with integer ``sx`` and
+    ``left`` snapped to the half-integer grid, which collapses to exact
+    integer arithmetic ``x(q) = Lx + (sx-1)//2 + sx*q`` with
+    ``Lx = left + 0.5`` (see `_prescale_take_u32`).
     """
-    H, W = image_u8.shape[0], image_u8.shape[1]
     cx, cy, w, h, th = (rrect[i] for i in range(5))
     c, s = jnp.abs(jnp.cos(th)), jnp.abs(jnp.sin(th))
     bw = w * c + h * s + PRESCALE_MARGIN
@@ -86,6 +112,18 @@ def _prescale_planar(image_u8, rrect, M: int):
     # sample positions become xs(q) = floor(left+0.5) + sx*q exactly.
     left = jnp.floor(left + 0.5) - 0.5
     top = jnp.floor(top + 0.5) - 0.5
+    return left, top, sx, sy, bw, bh
+
+
+def _prescale_take_u32(image_u32, rrect, M: int):
+    """XLA index-vector-take prescale: NN-resample the rotated view's
+    bounding box to ``[M, M] u32`` (one RGBA pixel per element).
+
+    The exact-fallback lane: handles any stride / frame size. OOB pixels
+    become 0 (Color::NONE semantics, image/mod.rs:239-247).
+    """
+    H, W = image_u32.shape[0], image_u32.shape[1]
+    left, top, sx, sy, _bw, _bh = _prescale_geometry(rrect, M)
 
     q = jnp.arange(M, dtype=jnp.float32) + 0.5
     xs = _rha(left + q * sx - 0.5)
@@ -95,24 +133,206 @@ def _prescale_planar(image_u8, rrect, M: int):
     # before fill applies.
     xi = jnp.where((xs >= 0) & (xs < W), xs, np.float32(W)).astype(jnp.int32)
     yi = jnp.where((ys >= 0) & (ys < H), ys, np.float32(H)).astype(jnp.int32)
-    # Rows FIRST: M dynamic-slices of CONTIGUOUS frame rows (7.7 KB each
-    # at 1080p); column-first gathers at row-pitch stride measured ~2x
-    # slower. The takes run on the frame bitcast to u32 (one RGBA pixel
-    # per element): a u8[..., 4] column take scalarizes to per-byte
-    # touches (~3.4 ms of the 14.8 ms prescale at batch 128) while the
-    # u32 form gathers whole pixels and costs the same as the row take
-    # alone (~11.4 ms total). Pure relayout — bit-identical, and the
-    # OOB fill 0 is RGBA(0,0,0,0) in either form.
-    image_u32 = lax.bitcast_convert_type(image_u8, jnp.uint32)  # [H, W]
+    # Rows FIRST: M dynamic-slices of CONTIGUOUS frame rows. The takes
+    # run on the frame in u32 form (one RGBA pixel per element): a
+    # u8[..., 4] column take scalarizes to per-byte touches while the u32
+    # form gathers whole pixels. The OOB fill 0 is RGBA(0,0,0,0).
     rows = jnp.take(image_u32, yi, axis=0, mode="fill", fill_value=0)
     patch32 = jnp.take(rows, xi, axis=1, mode="fill", fill_value=0)  # [M, M]
-    patch = lax.bitcast_convert_type(patch32, jnp.uint8)  # [M, M, 4]
-    planar = jnp.transpose(patch[..., :3], (2, 0, 1))  # [3, M, M]
-    return planar, left, top, sx, sy
+    return patch32
+
+
+def _prescale_pallas_kernel(
+    coef_ref, frame_ref, out_ref, crop, rs, sem, *, M, CH, CW, H, W, S
+):
+    """Per-view prescale: one bbox-covering crop DMA + blocked one-hot
+    row/column int8 MXU selections (replaces the XLA gather lowering of
+    `jnp.take`, which touches rows at ~15 GB/s effective).
+
+    Grid: ``(N,)``. coefs (SMEM i32 [N, 6]): ystart, xstart (crop window
+    origin, 8/128-aligned), ly_eff, lx_eff (first sample index:
+    ``L + (s-1)//2``), sy, sx (integer strides, <= PRESCALE_SMAX).
+    """
+    v = pl.program_id(0)
+    b = v // S
+
+    ystart = coef_ref[v, 0]
+    xstart = coef_ref[v, 1]
+    ly = coef_ref[v, 2]
+    lx = coef_ref[v, 3]
+    sy = coef_ref[v, 4]
+    sx = coef_ref[v, 5]
+
+    # One DMA per view: the crop window covers every in-frame source
+    # index the view can select (the caller's coverage predicate
+    # guarantees it; uncovered views take the XLA fallback branch).
+    cp = pltpu.make_async_copy(
+        frame_ref.at[b, pl.ds(ystart, CH), pl.ds(xstart, CW)], crop, sem
+    )
+    cp.start()
+    cp.wait()
+
+    n_rc = M // PRESCALE_RQ
+    n_cc = M // PRESCALE_CQ
+    RW = PRESCALE_RW
+    CWW = PRESCALE_CWW
+
+    iota_rw = lax.broadcasted_iota(jnp.int32, (PRESCALE_RQ, RW), 1)
+    iota_q = lax.broadcasted_iota(jnp.int32, (PRESCALE_RQ, RW), 0)
+    iota_cw = lax.broadcasted_iota(jnp.int32, (CWW, PRESCALE_CQ), 0)
+    iota_j = lax.broadcasted_iota(jnp.int32, (CWW, PRESCALE_CQ), 1)
+
+    for rc in range(n_rc):
+        # Source rows for output rows [rc*RQ, rc*RQ+RQ): yi = ly + sy*q,
+        # exact integers — no rounding wiggle. Window start aligns DOWN
+        # to the 8-sublane grid and clamps inside the crop.
+        y_first = ly + sy * (rc * PRESCALE_RQ)
+        rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
+        rw0 = pl.multiple_of(rw0, 8)
+        win = crop[pl.ds(rw0, RW), :]  # [RW, CW] u32
+
+        # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
+        # sources (OOB rows contribute 0 — the take path's fill).
+        yi = ly + sy * (iota_q + rc * PRESCALE_RQ)
+        yrel = yi - ystart - rw0
+        oky = (yi >= 0) & (yi < H)
+        ohy = ((iota_rw == yrel) & oky).astype(jnp.int8)  # [RQ, RW]
+        # [RQ, 1] in-frame row mask for the final re-bias.
+        oky1 = oky[:, :1].astype(jnp.int32)
+
+        # Row-select each channel: values re-biased to [-128, 127] so the
+        # products stay exact in int8 x int8 -> int32 MXU math; the
+        # results ((px-128) or 0) fit int8 exactly and land in the rs
+        # scratch so column chunks can window them with pl.ds.
+        w32 = win.astype(jnp.int32)
+        for ch in range(3):
+            ch_i8 = (
+                ((w32 >> (8 * ch)) & 0xFF) - 128
+            ).astype(jnp.int8)  # [RW, CW]
+            rs[ch * PRESCALE_RQ:(ch + 1) * PRESCALE_RQ, :] = jnp.dot(
+                ohy, ch_i8, preferred_element_type=jnp.int32
+            ).astype(jnp.int8)
+
+        for cc in range(n_cc):
+            x_first = lx + sx * (cc * PRESCALE_CQ)
+            cw0 = jnp.clip(((x_first - xstart) // 128) * 128, 0, CW - CWW)
+            cw0 = pl.multiple_of(cw0, 128)
+            xj = lx + sx * (iota_j + cc * PRESCALE_CQ)
+            xrel = xj - xstart - cw0
+            okx = (xj >= 0) & (xj < W)
+            ohx = ((iota_cw == xrel) & okx).astype(jnp.int8)  # [CWW, CQ]
+
+            sel = jnp.dot(
+                rs[:, pl.ds(cw0, CWW)], ohx,
+                preferred_element_type=jnp.int32,
+            ).reshape(3, PRESCALE_RQ, PRESCALE_CQ)
+
+            # Re-bias: +128 where the source index is in-frame. The
+            # coverage predicate guarantees every in-frame source within
+            # the view bbox (+ the rotate kernel's rounding wiggle) is in
+            # the crop window, so cells the rotate kernel can read are
+            # exact; in-frame cells of the M-grid far outside the bbox
+            # may miss the window (empty one-hot -> 128 here vs a real
+            # pixel on the take path) but are never selected downstream.
+            ind = oky1 * okx[:1, :].astype(jnp.int32)  # [RQ, CQ]
+            px = sel + 128 * ind[None]
+            out32 = px[0] | (px[1] << 8) | (px[2] << 16)
+            out_ref[
+                0,
+                rc * PRESCALE_RQ:(rc + 1) * PRESCALE_RQ,
+                cc * PRESCALE_CQ:(cc + 1) * PRESCALE_CQ,
+            ] = out32.astype(jnp.uint32)
+
+
+def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
+    """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
+    -> ``[N, M, M] u32`` intermediates. Only called on batches whose
+    every view passes `_prescale_coverage_ok`."""
+    B, H, W = image_u32.shape
+    N = rrect_flat.shape[0]
+    CH, CW = _crop_shape(H, W)
+
+    def coefs_one(rr):
+        left, top, sx, sy, bw, bh = _prescale_geometry(rr, M)
+        sxi = sx.astype(jnp.int32)
+        syi = sy.astype(jnp.int32)
+        lx = (left + 0.5).astype(jnp.int32) + (sxi - 1) // 2
+        ly = (top + 0.5).astype(jnp.int32) + (syi - 1) // 2
+        # Crop origin: align down to the DMA grid, clamped inside the
+        # frame. Coverage of all in-frame sample indices follows from
+        # the caller's bbox predicate (bbox + align + slack <= CH/CW).
+        # 16-px back-off: the rotate kernel's two-stage index rounding can
+        # select sources up to ~4 prescale cells (~8 px at stride 2) past
+        # the bbox edge; 16 covers it with margin on both sides (the
+        # coverage predicate reserves the same slack at the high edge).
+        cx0 = rr[0] - bw * 0.5
+        cy0 = rr[1] - bh * 0.5
+        xstart = jnp.clip(
+            ((jnp.floor(cx0).astype(jnp.int32) - 16) // 128) * 128, 0, W - CW
+        )
+        ystart = jnp.clip(
+            ((jnp.floor(cy0).astype(jnp.int32) - 16) // 8) * 8, 0, H - CH
+        )
+        return jnp.stack([ystart, xstart, ly, lx, syi, sxi])
+
+    coefs = jax.vmap(coefs_one)(rrect_flat)  # [N, 6] i32
+
+    kern = functools.partial(
+        _prescale_pallas_kernel, M=M, CH=CH, CW=CW, H=H, W=W, S=S
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 6]
+            pl.BlockSpec(memory_space=pl.ANY),      # frames [B, H, W] u32
+        ],
+        out_specs=pl.BlockSpec(
+            (1, M, M), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, M, M), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((CH, CW), jnp.uint32),
+            pltpu.VMEM((3 * PRESCALE_RQ, CW), jnp.int8),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(coefs, image_u32)
+
+
+def _crop_shape(H: int, W: int):
+    """Static crop-window shape for the Pallas prescale, fitted to the
+    frame: rows cover CROP_MAX + alignment, columns CROP_MAX + lane
+    alignment, both clipped to what the frame can supply."""
+    CH = min(-(-(CROP_MAX + 8) // 8) * 8, (H // 8) * 8)
+    CW = min(-(-(CROP_MAX + 144) // 128) * 128, (W // 128) * 128)
+    return CH, CW
+
+
+def _prescale_coverage_ok(rrect_flat, M, H, W):
+    """Batch-scalar predicate: every view's crop window covers all its
+    in-frame sample indices AND its strides fit the kernel's static
+    chunk windows (<= PRESCALE_SMAX)."""
+    CH, CW = _crop_shape(H, W)
+    if CH < PRESCALE_RW or CW < PRESCALE_CWW:
+        return jnp.asarray(False)
+
+    def one(rr):
+        _l, _t, sx, sy, bw, bh = _prescale_geometry(rr, M)
+        return (
+            (sx <= PRESCALE_SMAX)
+            & (sy <= PRESCALE_SMAX)
+            # bbox + window alignment loss (127/7) + 16-px back-off +
+            # matching high-edge rounding slack fits the static crop.
+            & (bw <= np.float32(CW - 160))
+            & (bh <= np.float32(CH - 40))
+        )
+
+    return jnp.all(jax.vmap(one)(rrect_flat))
 
 
 def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
-    """Per-stream scalars for the kernel's index math.
+    """Per-stream scalars for the rotate kernel's index math.
 
     The kernel reproduces the exact path's TWO-stage rounding
     (ops/sampling._view_grid): xv = rha(j/out_w * W), pv = xv + 0.5 ->
@@ -143,6 +363,16 @@ def _sampler_coefs(rrect, out_w: int, out_h: int, left, top, sx, sy):
         ],
         axis=-1,
     ).astype(jnp.float32)
+
+
+def _unpack3_i8(band_u32):
+    """[P, XW] u32 pixels -> [3P, XW] int8 channel bands re-biased by
+    -128 (u8 value - 128 exactly; integer MXU math stays exact)."""
+    b32 = band_u32.astype(jnp.int32)
+    chans = [
+        (((b32 >> (8 * ch)) & 0xFF) - 128).astype(jnp.int8) for ch in range(3)
+    ]
+    return jnp.concatenate(chans, axis=0)
 
 
 def _rotate_kernel(
@@ -186,16 +416,17 @@ def _rotate_kernel(
     j0 = (cb * cols).astype(jnp.float32)
     if hoist_band and not rolled:
         # Full-band config (P == M, XW == M): the "window" is the whole
-        # planar intermediate at static offset 0, delivered as a regular
+        # u32 intermediate at static offset 0, delivered as a regular
         # VMEM block — Mosaic's pipeline copies it once per view and
         # reuses it across all (blk, cb) steps (the block index map is
         # b-only), eliminating the per-block re-DMA.
         start = xstart = 0
     else:
         # Window start: min x/y over the block's corners, with slack.
-        # Dynamic sublane offsets must be 32-aligned (u8 tiling is
-        # (32, 128)), so the y start rounds down, eating <= 31 rows of
-        # the P-row envelope (both modes size P for it).
+        # The intermediate is u32 (one pixel per element), so dynamic
+        # sublane offsets need only 8-alignment (f32/i32 tiling is
+        # (8, 128)) — the y start rounds down, eating <= 7 rows of the
+        # P-row envelope.
         corners = [
             q_of(j0 + jc, k0 + kc, rounded=False)
             for jc in (0.0, float(cols - 1))
@@ -204,12 +435,13 @@ def _rotate_kernel(
         xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
         ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
         start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
-        start = pl.multiple_of((start // 32) * 32, 32)
+        start = pl.multiple_of((start // 8) * 8, 8)
         if rolled:
-            # Rolled-window mode (full-band + square views): the planar
-            # is VMEM-resident; x needs no DMA alignment because the
-            # kernel ROLLS the lanes (below), so the window shrinks to
-            # the coverage bound itself (~4x less one-hot contraction).
+            # Rolled-window mode (full-band + square views): the
+            # intermediate is VMEM-resident; x needs no DMA alignment
+            # because the kernel ROLLS the lanes (below), so the window
+            # shrinks to the coverage bound itself (~4x less one-hot
+            # contraction).
             xstart = jnp.clip(
                 jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
             )
@@ -222,9 +454,10 @@ def _rotate_kernel(
             )
             xstart = pl.multiple_of((xstart // 128) * 128, 128)
 
-            # One DMA for all three channel bands ([3, P, XW] copy).
+            # One [P, XW] u32 window DMA (whole pixels; channels unpack
+            # in VMEM below).
             cp = pltpu.make_async_copy(
-                planar_ref.at[b, :, pl.ds(start, P), pl.ds(xstart, XW)],
+                planar_ref.at[b, pl.ds(start, P), pl.ds(xstart, XW)],
                 band, sem,
             )
             cp.start()
@@ -244,23 +477,20 @@ def _rotate_kernel(
     my = (iota_p == yrel)                                   # [P, lanes]
 
     if hoist_band and rolled:
-        # Window extraction from the resident planar: 32-aligned dynamic
-        # y-slice, then a dynamic lane roll brings source column
-        # ``xstart`` to lane 0 (roll shift M ≡ identity at xstart == 0).
-        # Mosaic's dynamic rotate is 32-bit only, so bitcast packs 4 u8
-        # sublanes per i32 element; columns roll as units, and the
-        # round-trip makes the packing convention irrelevant.
-        shift = M - xstart
-
-        def win(ch):
-            w8 = planar_ref[0, ch, pl.ds(start, P), :]   # [P, M] u8
-            w32 = pltpu.bitcast(w8, jnp.int32)           # [P//4, M]
-            w32 = pltpu.roll(w32, shift, axis=1)[:, :XW]
-            return pltpu.bitcast(w32, jnp.uint8)         # [P, XW]
-
-        band = jnp.stack([win(ch) for ch in range(3)])   # [3, P, XW]
+        # Window extraction from the resident u32 intermediate: 8-aligned
+        # dynamic y-slice, then a 128-aligned lane pre-slice of width
+        # XW + 128 and ONE dynamic lane roll bring source column
+        # ``xstart`` to lane 0. Rolling u32 pixels needs no bitcast
+        # (Mosaic's dynamic rotate is 32-bit), and the narrow pre-slice
+        # keeps the roll ~4x cheaper than rolling the full M lanes.
+        x128 = jnp.clip((xstart // 128) * 128, 0, M - (XW + 128))
+        x128 = pl.multiple_of(x128, 128)
+        off = xstart - x128  # in [0, 128]
+        win = planar_ref[0, pl.ds(start, P), pl.ds(x128, XW + 128)]
+        win = pltpu.roll(win, (XW + 128) - off, axis=1)[:, :XW]
+        band = win  # [P, XW] u32
     elif hoist_band:
-        band = planar_ref[0]  # [3, M, M] for view b, resident in VMEM
+        band = planar_ref[0]  # [M, M] u32 for view b, resident in VMEM
     else:
         cp.wait()
         band = band[:]
@@ -268,28 +498,29 @@ def _rotate_kernel(
     # intermediate; fall back to a per-channel loop when that would
     # crowd VMEM (large full-band configs: P=M, col_split=1).
     fused3 = 3 * P * lanes * 4 <= 4 * 2**20
+    ind = ((xrel >= 0) & (xrel < XW) & (yrel >= 0) & (yrel < P))
     if int8_mxu:
-        # u8 pixels don't fit int8; XOR 0x80 re-biases to [-128, 127]
-        # (u8 value - 128, exactly). The dot then yields
-        # (pixel-128)·[x in window]; masking rows and adding back
-        # 128·[x and y in window] reconstructs the exact pixel. All
-        # integer arithmetic — bit-identical to the bf16 path, at 2x the
-        # MXU rate.
+        # Channel values re-biased to [-128, 127] (px - 128 exactly). The
+        # dot then yields (pixel-128)·[x in window]; masking rows and
+        # adding back 128·[x and y in window] reconstructs the exact
+        # pixel. All integer arithmetic — bit-identical to the bf16
+        # path, at 2x the MXU rate.
         ohx = (iota_x == xrel).astype(jnp.int8)            # [XW, lanes]
-        ind = ((xrel >= 0) & (xrel < XW) & (yrel >= 0) & (yrel < P))
-        band_i8 = pltpu.bitcast(band ^ jnp.uint8(0x80), jnp.int8)
         my_i = my.astype(jnp.int32)
         if fused3:
+            band_i8 = _unpack3_i8(band)                    # [3P, XW]
             sel = jnp.dot(
-                band_i8.reshape(3 * P, XW), ohx,
-                preferred_element_type=jnp.int32,
+                band_i8, ohx, preferred_element_type=jnp.int32
             ).reshape(3, P, lanes)
             v = jnp.sum(sel * my_i[None], axis=1)          # [3, lanes]
         else:
+            b32 = band.astype(jnp.int32)
             v = jnp.concatenate([
                 jnp.sum(
-                    jnp.dot(band_i8[ch], ohx,
-                            preferred_element_type=jnp.int32) * my_i,
+                    jnp.dot(
+                        (((b32 >> (8 * ch)) & 0xFF) - 128).astype(jnp.int8),
+                        ohx, preferred_element_type=jnp.int32,
+                    ) * my_i,
                     axis=0, keepdims=True,
                 )
                 for ch in range(3)
@@ -299,22 +530,26 @@ def _rotate_kernel(
         # bf16 MXU path: u8 values <= 255 < 2^8 are exact in bf16, and
         # one-hot selection is exact — same results as int8.
         ohx = (iota_x == xrel).astype(jnp.bfloat16)        # [XW, lanes]
-        band_bf = band.astype(jnp.int32).astype(jnp.bfloat16)
+        b32 = band.astype(jnp.int32)
         my_f = my.astype(jnp.float32)
+        chans_bf = [
+            ((b32 >> (8 * ch)) & 0xFF).astype(jnp.bfloat16)
+            for ch in range(3)
+        ]
         if fused3:
+            band_bf = jnp.concatenate(chans_bf, axis=0)    # [3P, XW]
             sel = jnp.dot(
-                band_bf.reshape(3 * P, XW), ohx,
-                preferred_element_type=jnp.float32,
+                band_bf, ohx, preferred_element_type=jnp.float32
             ).reshape(3, P, lanes)
             out = jnp.sum(sel * my_f[None], axis=1)
         else:
             out = jnp.concatenate([
                 jnp.sum(
-                    jnp.dot(band_bf[ch], ohx,
-                            preferred_element_type=jnp.float32) * my_f,
+                    jnp.dot(ch_bf, ohx, preferred_element_type=jnp.float32)
+                    * my_f,
                     axis=0, keepdims=True,
                 )
-                for ch in range(3)
+                for ch_bf in chans_bf
             ])
     out_ref[0, 0, 0, :, :] = out
 
@@ -324,6 +559,7 @@ def _rotate_kernel(
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
+        "pallas_prescale",
     ),
 )
 def rotated_sample_fast(
@@ -342,6 +578,7 @@ def rotated_sample_fast(
     int8_mxu: bool = True,
     rows_per_block: int | None = None,
     square_views: bool = False,
+    pallas_prescale: bool = True,
 ):
     """Fast rotated-view sample + color map.
 
@@ -358,7 +595,7 @@ def rotated_sample_fast(
       (index error <= ceil(stride/2)).
     - ``band_p``: rows of the intermediate DMA'd per block. The rotation
       envelope is ``sin|theta| * (view_size/stride) * (cols/out_w)
-      <= band_p - ~50``; ``band_p == prescale_m`` disables banding and
+      <= band_p - ~12``; ``band_p == prescale_m`` disables banding and
       supports ARBITRARY rotation (cost grows linearly with band_p).
     - ``col_split``: split each row block into this many column blocks —
       narrower blocks shrink both the per-block row drift (wider rotation
@@ -378,8 +615,13 @@ def rotated_sample_fast(
       ``aspect_view_rect`` fits them). Enables the ROLLED-WINDOW mode for
       full-band configs: a dynamic lane roll replaces DMA alignment so
       the per-block window shrinks to 128 columns (≈4x less one-hot
-      contraction work) while keeping ANY-rotation coverage. Results are
+      contraction) while keeping ANY-rotation coverage. Results are
       identical for square views; non-square views may read black.
+    - ``pallas_prescale``: build the intermediate with the crop-resident
+      Pallas kernel when a batch-scalar coverage predicate holds (all
+      strides <= 2, bboxes within the static crop window), falling back
+      to the XLA take path per batch otherwise. Both paths produce
+      index-identical intermediates; the knob exists for A/B timing.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -401,10 +643,11 @@ def rotated_sample_fast(
     # opt in via ``square_views``. NB: rolled mode picks its own blocking
     # (col_split and, unless ``rows_per_block`` is given, rows per block)
     # — the caller's full-band ``col_split`` marker is deliberately
-    # overridden. It needs M >= 128 (the fixed window width); smaller
-    # intermediates fall back to the plain full-band kernel.
+    # overridden. It needs M >= 256 (the fixed 128-lane window plus the
+    # 128-aligned pre-slice); smaller intermediates fall back to the
+    # plain full-band kernel.
     rolled = False
-    if square_views and P == M and XW == M and out_w == out_h and M >= 128:
+    if square_views and P == M and XW == M and out_w == out_h and M >= 256:
         rpb_choices = [rows_per_block] if rows_per_block else [32, 16, 8]
         for cs in (c for c in range(1, 33) if out_w % c == 0):
             hit = False
@@ -423,10 +666,10 @@ def rotated_sample_fast(
                 ) + 10  # index-rounding wiggle + window back-off slack
                 if span > 128:
                     continue
-                # +31: the y-start rounds DOWN to a 32-sublane multiple
-                # in the kernel, eating up to 31 window rows; the x roll
-                # needs no such allowance (unaligned).
-                p_r = min(-(-(span + 31) // 32) * 32, M)
+                # +7: the y-start rounds DOWN to an 8-sublane multiple in
+                # the kernel (u32 intermediate), eating up to 7 window
+                # rows; the x roll needs no such allowance (unaligned).
+                p_r = min(-(-(span + 7) // 8) * 8, M)
                 col_split, rows_pb, P, XW = cs, rpb, p_r, 128
                 rolled = hit = True
                 break
@@ -474,29 +717,55 @@ def rotated_sample_fast(
     B = image_u8.shape[0]
     slot_dims = rrect.shape[1:-1]
     rrect_flat = rrect.reshape(B, -1, 5)
+    S = rrect_flat.shape[1]
     cols = out_w // col_split
     lanes = rows_pb * cols
     n_blocks = out_h // rows_pb
 
-    def one(img, rr):
-        planar, left, top, sx, sy = _prescale_planar(img, rr, M)
-        coefs = _sampler_coefs(rr, out_w, out_h, left, top, sx, sy)
-        return planar, coefs
+    # One RGBA pixel per element for all prescale work: u8 [..., 4]
+    # gathers scalarize to per-byte touches on TPU, u32 moves whole
+    # pixels (bit-identical relayout).
+    image_u32 = lax.bitcast_convert_type(image_u8, jnp.uint32)  # [B, H, W]
+    H, W = image_u32.shape[1], image_u32.shape[2]
+    N = B * S
 
-    # Inner vmap over slots shares the frame (batched gather indices, no
-    # frame duplication); outer vmap over streams.
-    planar, coefs = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(
-        image_u8, rrect_flat
-    )
-    N = B * rrect_flat.shape[1]
-    planar = planar.reshape(N, 3, M, M)
-    coefs = coefs.reshape(N, coefs.shape[-1])
+    def coefs_one(img, rr):
+        left, top, sx, sy, _bw, _bh = _prescale_geometry(rr, M)
+        return _sampler_coefs(rr, out_w, out_h, left, top, sx, sy)
+
+    coefs = jax.vmap(jax.vmap(coefs_one, in_axes=(None, 0)))(
+        image_u32, rrect_flat
+    ).reshape(N, -1)
+
+    def take_path(ops):
+        img32, rrf = ops
+        pl_ = jax.vmap(
+            jax.vmap(
+                lambda im, rr: _prescale_take_u32(im, rr, M),
+                in_axes=(None, 0),
+            )
+        )(img32, rrf)
+        return pl_.reshape(N, M, M)
+
+    def pallas_path(ops):
+        img32, rrf = ops
+        return _prescale_pallas(img32, rrf.reshape(N, 5), M, S, interpret)
+
+    # The Pallas branch is only *traceable* when the frame can supply its
+    # static chunk windows — smaller frames (tiny test images) take the
+    # XLA path unconditionally (lax.cond traces both branches).
+    _ch, _cw = _crop_shape(H, W)
+    if pallas_prescale and _ch >= PRESCALE_RW and _cw >= PRESCALE_CWW:
+        ok = _prescale_coverage_ok(rrect_flat.reshape(N, 5), M, H, W)
+        planar = lax.cond(ok, pallas_path, take_path, (image_u32, rrect_flat))
+    else:
+        planar = take_path((image_u32, rrect_flat))
 
     # Full-band configs (P == M and XW == M) read the ENTIRE per-view
-    # planar with static offsets, so the window can be a regular VMEM
-    # block whose index map depends only on the view: Mosaic copies it
-    # once per view and reuses it across all (blk, cb) grid steps, instead
-    # of re-issuing the [3, P, XW] DMA per block.
+    # intermediate with static offsets, so the window can be a regular
+    # VMEM block whose index map depends only on the view: Mosaic copies
+    # it once per view and reuses it across all (blk, cb) grid steps,
+    # instead of re-issuing the [P, XW] DMA per block.
     hoist_band = rolled or (P == M and XW == M)
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
@@ -508,7 +777,7 @@ def rotated_sample_fast(
             coef_ref, planar_ref, out_ref, None, None
         )
         planar_spec = pl.BlockSpec(
-            (1, 3, M, M), lambda b, blk, cb: (b, 0, 0, 0),
+            (1, M, M), lambda b, blk, cb: (b, 0, 0),
             memory_space=pltpu.VMEM,
         )
         scratch = []
@@ -516,7 +785,7 @@ def rotated_sample_fast(
         kern = kernel
         planar_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((3, P, XW), jnp.uint8),
+            pltpu.VMEM((P, XW), jnp.uint32),
             pltpu.SemaphoreType.DMA(()),
         ]
     out = pl.pallas_call(
@@ -524,7 +793,7 @@ def rotated_sample_fast(
         grid=(N, n_blocks, col_split),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
-            planar_spec,  # planar [N, 3, M, M]
+            planar_spec,  # planar [N, M, M] u32
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),

@@ -62,6 +62,7 @@ class FaceTracker:
         compute_dtype=None,
         fast_sampler: bool = True,
         iris: bool = False,
+        sampler_opts: dict | None = None,
     ):
         self.detector = detector or ShortRangeNetwork(compute_dtype=compute_dtype)
         self.landmarker = landmarker or FaceMeshV1(compute_dtype=compute_dtype)
@@ -78,6 +79,19 @@ class FaceTracker:
         self.roi_padding = roi_padding
         self.smooth = smooth
         self.fast_sampler = fast_sampler
+        # Default: the ROLLED-WINDOW full-band sampler configuration —
+        # exact sampling at ANY view rotation (FaceMesh input is square,
+        # so the square-view promise holds; see ops/rotated_fast.py),
+        # matching the reference's any-angle rotated views
+        # (image/mod.rs:224-247). Round 2 clamped the sampled view to
+        # ±0.5 rad here; the clamp is gone.
+        if sampler_opts is None:
+            from ..ops.rotated_fast import PRESCALE_M
+
+            sampler_opts = {
+                "band_p": PRESCALE_M, "col_split": 1, "square_views": True,
+            }
+        self.sampler_opts = sampler_opts
         self.elapsed = 1.0 / frame_rate
         self.num_landmarks = len(self.landmarker.init_estimate().landmarks_mut())
 
@@ -193,17 +207,13 @@ class FaceTracker:
         res = self.lm_cnn.input_resolution()
         view_rects = jax.vmap(lambda r: _ops.aspect_view_rect(r, res))(rois)
         if self.fast_sampler:
-            # Clamp only the SAMPLED view's rotation to the MXU sampler's
-            # envelope (auto col_split: safe to ~28 deg at any view size;
-            # see ops/rotated_fast.py). The tracked ROI state keeps the true
-            # angle, and _track_tail recovers true rotation from
-            # view_rect[4] + the measured residual, so extreme tilts
-            # degrade to an approximately-upright crop instead of black.
-            view_rects = view_rects.at[:, 4].set(
-                jnp.clip(view_rects[:, 4], -self.VIEW_ANGLE_CLAMP,
-                         self.VIEW_ANGLE_CLAMP)
+            # Rolled-window full-band sampling (default sampler_opts):
+            # exact at ANY rotation — no view-angle clamp (reference
+            # semantics image/mod.rs:224-247; the round-2 ±0.5 rad clamp
+            # is gone).
+            xs = self.lm_cnn.sample_views_fast(
+                frames, view_rects, **self.sampler_opts
             )
-            xs = self.lm_cnn.sample_views_fast(frames, view_rects)
             outputs = jax.vmap(
                 lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t)
             )(xs)
@@ -250,9 +260,10 @@ class FaceTracker:
             xy_view[LandmarkIdx.RIGHT_EYE_OUTER_CORNER]
             - xy_view[LandmarkIdx.LEFT_EYE_OUTER_CORNER]
         )
-        # NB: view_rect's angle, not roi's — on the fast-sampled path the
-        # view may be envelope-clamped; the residual is measured relative
-        # to the actual view, so this recovers the TRUE face rotation.
+        # The residual is measured relative to the sampled view, so
+        # adding the view's angle recovers the TRUE face rotation (also
+        # correct if a caller overrides sampler_opts with a clamped
+        # banded config).
         angle = view_rect[4] + signed_angle_to_x(ltr)
 
         new_roi = _ops.padded_roi(xy, angle, self.roi_padding)
@@ -282,9 +293,6 @@ class FaceTracker:
         int(LandmarkIdx.RIGHT_EYE_TOP),
     )
     EYE_GROW = 0.8  # examples/eye_tracking.py host semantics
-    # Fast-sampler view-rotation clamp (safe for all stride-1 view sizes
-    # with col_split=4; ops/rotated_fast.py envelope math).
-    VIEW_ANGLE_CLAMP = 0.5
 
     def _eye_view_rects(self, pos):
         """Landmarks (image coords) → [2, 5] aspect-fit eye view rects

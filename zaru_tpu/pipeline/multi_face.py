@@ -51,10 +51,11 @@ class MultiFaceTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=loss_threshold,
             iou_thresh=iou_thresh,
-            # Faces stay near upright: MXU fast sampling with the sampled
-            # VIEW's rotation clamped inside the banded envelope
-            # (auto col_split, safe to ~28 deg at any view size; the ROI
-            # state and outputs keep true angles).
+            # Rolled-window full-band sampling: exact at ANY face
+            # rotation (square FaceMesh views), no angle clamp —
+            # reference semantics image/mod.rs:224-247.
             fast_sampler=True,
-            angle_clamp=0.5,
+            sampler_opts={
+                "band_p": 512, "col_split": 1, "square_views": True,
+            },
         )
