@@ -225,6 +225,67 @@ def main():
                   "fps": round(B * STEPS / best),
                   "tracked": float(confs[-1].min())})
 
+    if "bf16" in WHICH:
+        # VERDICT r2 weak #3: bf16 was only ever measured on
+        # OUT-of-distribution crops (hand model on a face photo). The
+        # fixture IS in-distribution for the face models — drive the full
+        # cascade f32 vs bf16 on real tracked crops at several tilts and
+        # record the landmark deviation + confidence drift.
+        import cv2
+
+        from zaru_tpu.pipeline import FaceTracker
+
+        tr32 = FaceTracker(smooth=None)
+        tr16 = FaceTracker(smooth=None, compute_dtype=jnp.bfloat16)
+        rgba = np.asarray(frame)
+        for deg in (0.0, 25.0, 60.0):
+            if deg:
+                mat = cv2.getRotationMatrix2D((960, 540), deg, 1.0)
+                fr = cv2.warpAffine(rgba, mat, (1920, 1080))
+            else:
+                fr = rgba
+            f = jnp.asarray(fr)[None]
+            s32 = tr32.init_state(batch=1)
+            s16 = tr16.init_state(batch=1)
+            for _ in range(4):
+                s32, o32 = tr32.run_frames_gated(s32, f)
+                s16, o16 = tr16.run_frames_gated(s16, f)
+            lm_err = float(
+                np.abs(
+                    np.asarray(o32["landmarks"])[0, :, :2]
+                    - np.asarray(o16["landmarks"])[0, :, :2]
+                ).max()
+            )
+            emit({
+                "check": "bf16_face_indist", "tilt_deg": deg,
+                "lm_err_px": round(lm_err, 3),
+                "conf_f32": float(o32["confidence"][0]),
+                "conf_bf16": float(o16["confidence"][0]),
+                "valid_both": bool(o32["valid"][0]) and bool(o16["valid"][0]),
+            })
+
+        # And the speed side at batch 128: f32 vs bf16 production cadence
+        # is measured by the cascade section; here isolate the model-only
+        # step (FaceMesh forward) both ways.
+        for lbl, tr in (("f32", tr32), ("bf16", tr16)):
+            xs = jnp.zeros((B, 192, 192, 3), jnp.float32)
+
+            @jax.jit
+            def run_model(params, xs):
+                def body(c, _):
+                    outs = jax.vmap(
+                        lambda t: tr.lm_cnn.apply_tensor_hwc(params["lm"], t)
+                    )(xs + c * 1e-6)
+                    return c + 1.0, outs[0].reshape(B, -1)[:, 0]
+
+                _, o = lax.scan(body, 0.0, None, length=STEPS)
+                return o
+
+            dt = timed_windows(run_model, tr.params, xs,
+                               label=f"facemesh-{lbl}")
+            emit({"bench": "facemesh_model_only", "dtype": lbl,
+                  "ms_per_step": round(dt / STEPS * 1e3, 2)})
+
     if "detect" in WHICH:
         # Landmark-half isolation (sampler + CNN + decode, no gate).
         from zaru_tpu.pipeline import FaceTracker

@@ -17,15 +17,29 @@ import os
 import numpy as np
 import pytest
 
-from regen_goldens import GOLDEN_PATH, compute_goldens
+from regen_goldens import GOLDEN_PATH, GOLDEN_PATH_TPU, compute_goldens
 
 
 @pytest.fixture(scope="module")
 def recorded():
-    assert os.path.exists(GOLDEN_PATH), (
+    """The golden set matching the backend the suite runs on: goldens.npz
+    (CPU, always present) or goldens_tpu.npz (recorded on the real chip
+    with ``python tests/regen_goldens.py --tpu``; catches TPU-specific
+    compiler/numeric drift the CPU goldens can't see)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        if not os.path.exists(GOLDEN_PATH_TPU):
+            pytest.skip(
+                "no TPU golden set; record with python tests/regen_goldens.py --tpu"
+            )
+        path = GOLDEN_PATH_TPU
+    else:
+        path = GOLDEN_PATH
+    assert os.path.exists(path), (
         "goldens missing; run python tests/regen_goldens.py"
     )
-    with np.load(GOLDEN_PATH) as z:
+    with np.load(path) as z:
         return dict(z)
 
 

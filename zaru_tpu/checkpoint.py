@@ -109,9 +109,10 @@ def load_params(path: str | Path, *, like: dict | None = None) -> dict:
 
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
-        return ckptr.restore(
-            path.resolve(), args=ocp.args.StandardRestore(_abstract_like(like))
-        )
+        # StandardCheckpointer.restore takes the abstract target tree
+        # positionally (orbax >= 0.11; ShapeDtypeStructs with shardings
+        # place leaves directly on the mesh).
+        return ckptr.restore(path.resolve(), _abstract_like(like))
     return ckptr.restore(path.resolve())
 
 

@@ -90,3 +90,37 @@ def load_image(path: str | Path) -> np.ndarray:
     if img.mode in ("RGBA", "LA", "P"):
         return np.asarray(img.convert("RGBA"))
     return np.asarray(img.convert("RGB"))
+
+
+class DecodePool:
+    """Thread-pool JPEG decoder for ingest pipelines.
+
+    The reference grew five selectable software decoders because no
+    single-threaded CPU decoder could feed its pipelines
+    (jpeg.rs:53-70); on a TPU host the equivalent lever is decoding
+    frames on a thread pool — the cv2 (libjpeg-turbo) and native
+    backends release the GIL during the C decode, so throughput scales
+    near-linearly with cores until memory bandwidth binds
+    (examples/ingestbench.py records the scaling curve).
+    """
+
+    def __init__(self, threads: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=threads)
+        self.threads = threads
+
+    def decode_batch(self, blobs) -> list[np.ndarray]:
+        """Decodes a sequence of JPEG byte blobs concurrently; returns
+        RGB arrays in input order."""
+        return list(self._pool.map(decode_jpeg, blobs))
+
+    def submit(self, blob: bytes):
+        """Async single-frame decode; returns a Future of the RGB array."""
+        return self._pool.submit(decode_jpeg, blob)
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+
+
+__all__.append("DecodePool")

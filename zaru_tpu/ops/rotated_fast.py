@@ -74,7 +74,8 @@ PRESCALE_MARGIN = 2.0  # prescale bbox slack (matches the exact path)
 # chunk <= 2*(CQ-1)+1 source columns (+127 lane alignment).
 PRESCALE_RQ = 64     # output rows per row-chunk
 PRESCALE_CQ = 128    # output columns per column-chunk
-PRESCALE_RW = 160    # source rows read per row-chunk (2*63+1+7 -> 32-mult)
+PRESCALE_RW = 256    # source rows read per row-chunk (2*63+1+7, padded to
+                     # a 128-multiple contraction dim for the int8 MXU)
 PRESCALE_CWW = 384   # source cols read per col-chunk (2*127+1+127 -> 128-mult)
 PRESCALE_SMAX = 2    # max integer stride the kernel's windows cover
 CROP_MAX = 1024      # default max view bbox the static crop targets
@@ -156,8 +157,10 @@ def _prescale_pallas_kernel(
     v = pl.program_id(0)
     b = v // S
 
-    ystart = coef_ref[v, 0]
-    xstart = coef_ref[v, 1]
+    # The crop origin is pre-aligned by the caller (8-sublane / 128-lane
+    # grids); multiple_of carries the proof to Mosaic's slice checker.
+    ystart = pl.multiple_of(coef_ref[v, 0], 8)
+    xstart = pl.multiple_of(coef_ref[v, 1], 128)
     ly = coef_ref[v, 2]
     lx = coef_ref[v, 3]
     sy = coef_ref[v, 4]
@@ -265,13 +268,18 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
         # select sources up to ~4 prescale cells (~8 px at stride 2) past
         # the bbox edge; 16 covers it with margin on both sides (the
         # coverage predicate reserves the same slack at the high edge).
+        # The clamp limits are themselves ALIGNED (Mosaic requires the
+        # window origin on the 8-sublane/128-lane grid); the frame rows/
+        # cols past the aligned limit are guarded by the predicate.
         cx0 = rr[0] - bw * 0.5
         cy0 = rr[1] - bh * 0.5
         xstart = jnp.clip(
-            ((jnp.floor(cx0).astype(jnp.int32) - 16) // 128) * 128, 0, W - CW
+            ((jnp.floor(cx0).astype(jnp.int32) - 16) // 128) * 128,
+            0, ((W - CW) // 128) * 128,
         )
         ystart = jnp.clip(
-            ((jnp.floor(cy0).astype(jnp.int32) - 16) // 8) * 8, 0, H - CH
+            ((jnp.floor(cy0).astype(jnp.int32) - 16) // 8) * 8,
+            0, ((H - CH) // 8) * 8,
         )
         return jnp.stack([ystart, xstart, ly, lx, syi, sxi])
 
@@ -317,9 +325,12 @@ def _prescale_coverage_ok(rrect_flat, M, H, W):
     if CH < PRESCALE_RW or CW < PRESCALE_CWW:
         return jnp.asarray(False)
 
+    xlim = ((W - CW) // 128) * 128 + CW  # cols the clamped window can reach
+    ylim = ((H - CH) // 8) * 8 + CH
+
     def one(rr):
         _l, _t, sx, sy, bw, bh = _prescale_geometry(rr, M)
-        return (
+        ok = (
             (sx <= PRESCALE_SMAX)
             & (sy <= PRESCALE_SMAX)
             # bbox + window alignment loss (127/7) + 16-px back-off +
@@ -327,6 +338,14 @@ def _prescale_coverage_ok(rrect_flat, M, H, W):
             & (bw <= np.float32(CW - 160))
             & (bh <= np.float32(CH - 40))
         )
+        # Odd-sized frames leave up to 127/7 IN-FRAME edge pixels beyond
+        # the aligned clamp limit uncoverable — reject views touching
+        # them. (xlim == W / ylim == H for aligned frames: no condition.)
+        if xlim < W:
+            ok &= rr[0] + bw * 0.5 + 16.0 <= np.float32(xlim)
+        if ylim < H:
+            ok &= rr[1] + bh * 0.5 + 16.0 <= np.float32(ylim)
+        return ok
 
     return jnp.all(jax.vmap(one)(rrect_flat))
 

@@ -65,18 +65,25 @@ def measure_ingest_bandwidth(
     batch: int = 8, shape=(1080, 1920, 4), iters: int = 20
 ) -> dict:
     """Measures sustained host→device upload throughput for uint8 frame
-    batches. Returns {"gbytes_per_s", "frames_per_s"}."""
+    batches. Returns {"gbytes_per_s", "frames_per_s"}.
+
+    Completion is forced with a real device→host readback of a 1-element
+    reduction over the uploaded bytes: through tunneled devices,
+    ``block_until_ready`` returns before the transfer lands (CLAUDE.md),
+    so a bare device_put loop would time async enqueue.
+    """
     rng = np.random.default_rng(0)
     bufs = [
         rng.integers(0, 256, (batch, *shape), dtype=np.uint8) for _ in range(2)
     ]
     dev = jax.devices()[0]
-    # Warmup.
-    jax.device_put(bufs[0], dev).block_until_ready()
+    touch = jax.jit(lambda x: jnp.sum(x[:, ::97, ::97].astype(jnp.int32)))
+    # Warmup (also compiles the touch reduction).
+    np.asarray(touch(jax.device_put(bufs[0], dev)))
 
     t0 = time.perf_counter()
     for i in range(iters):
-        jax.device_put(bufs[i % 2], dev).block_until_ready()
+        np.asarray(touch(jax.device_put(bufs[i % 2], dev)))
     dt = time.perf_counter() - t0
     nbytes = batch * int(np.prod(shape)) * iters
     return {
