@@ -272,3 +272,33 @@ def test_pallas_prescale_rolled_any_rotation():
     assert np.abs(ex_y - fa_y)[valid].max() <= 1
     exact_frac = (fast[valid] == exact[valid][..., :3]).all(-1).mean()
     assert exact_frac > 0.999, exact_frac
+
+
+@pytest.mark.parametrize("theta", [0.4, 0.8, 1.2, 2.2, -2.8])
+def test_banded_auto_any_rotation(theta):
+    """Round 3: the auto banded config's y-band covers ANY rotation (the
+    `any_rotation` condition in the config chooser) — no black-outs, <=1
+    source px everywhere, and bit-exact up to rare f32 rounding edges
+    (the collapsed affine map vs the exact path's two-stage rounding can
+    differ by 1 ulp on a handful of boundary pixels). Round 2's ±38°
+    clamp envelope was the old col_split=4 / 32-align geometry."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([900, 500, 320, 320, theta], np.float32)
+    exact = np.asarray(
+        sample_view_rgba(jnp.asarray(img), jnp.asarray(rrect), 192, 192)
+    )
+    fast = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrect[None]), 192, 192,
+            0.0, 255.0, interpret=True,  # default banded auto config
+        )[0]
+    ).round().astype(np.int64)
+    valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
+    assert valid.mean() > 0.9
+    ex_x, ex_y = decode(exact)
+    fa_x, fa_y = decode(fast)
+    assert np.abs(ex_x - fa_x)[valid].max() <= 1
+    assert np.abs(ex_y - fa_y)[valid].max() <= 1
+    exact_frac = (fast[valid] == exact[valid][..., :3]).all(-1).mean()
+    assert exact_frac > 0.999, exact_frac

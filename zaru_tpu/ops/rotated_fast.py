@@ -40,11 +40,16 @@ prescale quantization) is collapsed into one affine map, so each output
 pixel reads a source pixel within ~``max(1, bbox/M)`` px of the exact
 path's choice. For typical ROIs (bbox <= M) that is <=1 source pixel, and
 landmark outputs stay within the <=1 px parity budget (BASELINE.json);
-tests/test_rotated_fast.py pins this against the exact sampler. Views
-rotated beyond ``arcsin((P-8)/out_h / scale)`` (~38 deg at scale 1,
-P=128) fall outside the banded window and read black — callers use the
-full-band / rolled-window configurations when that matters (reference
-semantics: crates/zaru/src/image/mod.rs:224-247 + nn/mod.rs:54-80).
+tests/test_rotated_fast.py pins this against the exact sampler.
+
+Rotation coverage: the auto-selected banded configuration prefers a
+column split whose per-block y-band provably covers ANY view rotation
+(see ``any_rotation`` in the config chooser) — e.g. col_split=6 at
+M=512/out 192 (the face serving shape). Manually forced configs outside
+that proof fall back to a limited envelope (blocks beyond it read
+black); the full-band / rolled-window configurations always cover the
+full circle (reference semantics: crates/zaru/src/image/mod.rs:224-247 +
+nn/mod.rs:54-80).
 """
 
 from __future__ import annotations
@@ -708,29 +713,52 @@ def rotated_sample_fast(
         return XW - 128 >= (M - PRESCALE_MARGIN) / cs + 10
 
     if not rolled:
+        def rpb_for(cs):
+            # Rows per block: bigger blocks amortize per-block overhead
+            # (the measured kernel limiter), capped so wide blocks
+            # (full-band configs with col_split=1) keep their selection
+            # intermediates VMEM-friendly. ``rows_per_block`` overrides
+            # (bounded by what VMEM actually fits — Mosaic errors loudly
+            # if it doesn't).
+            return rows_per_block or (
+                16
+                if out_h % 16 == 0 and 16 * (out_w // cs) <= 2048
+                else ROWS_PER_BLOCK
+            )
+
+        def any_rotation(cs):
+            # Banded y-band coverage at ANY rotation: a block's source-y
+            # span is <= (M-margin)*max(cols, rows_pb)/out_w (same LP as
+            # the x-window proof, by symmetry — square outputs only);
+            # + 7 rows of 8-sublane alignment loss, + ~8 of rounding
+            # wiggle/back-off must fit the P-row band. Round 2's "±38°
+            # envelope" was the old col_split=4 / 32-align geometry; the
+            # current auto configs (e.g. cs=6 at M=512/out 192) cover
+            # the full circle.
+            if out_w != out_h:
+                return False
+            span = (M - PRESCALE_MARGIN) * max(out_w // cs, rpb_for(cs)) / out_w
+            return span + 15 <= P
+
         if col_split is None:
             # Auto: the smallest divisor of out_w whose blocks the
             # x-window provably covers (smaller splits = fewer, bigger
             # blocks = less per-block overhead; span shrinks ∝
-            # 1/col_split).
+            # 1/col_split) — preferring configs whose y-band ALSO covers
+            # any rotation, so the serving paths need no angle clamp.
+            candidates = [c for c in range(2, 33) if out_w % c == 0]
             col_split = next(
-                (c for c in range(4, 17) if out_w % c == 0 and covered(c)),
+                (c for c in candidates if covered(c) and any_rotation(c)),
+                None,
+            ) or next(
+                (c for c in candidates if c >= 4 and covered(c)),
                 4 if out_w % 4 == 0 else 1,
             )
         # Never silently clip: without a coverage proof, disable the
         # window.
         if not covered(col_split):
             XW = M
-        # Rows per block: bigger blocks amortize per-block overhead (the
-        # measured kernel limiter), capped so wide blocks (full-band
-        # configs with col_split=1) keep their selection intermediates
-        # VMEM-friendly. ``rows_per_block`` overrides (bounded by what
-        # VMEM actually fits — Mosaic errors loudly if it doesn't).
-        rows_pb = rows_per_block or (
-            16
-            if out_h % 16 == 0 and 16 * (out_w // col_split) <= 2048
-            else ROWS_PER_BLOCK
-        )
+        rows_pb = rpb_for(col_split)
     assert out_w % col_split == 0
     assert out_h % rows_pb == 0
     B = image_u8.shape[0]

@@ -51,6 +51,12 @@ class ShardedFaceTracker:
             out_specs=(P(axis), P(axis)),
             # Replicated params multiply stream-varying activations; the
             # varying-manual-axes checker can't express that yet.
+            # Re-evaluated on jax 0.9.0 (round 3): check_vma=True still
+            # fails — the tracker's lax.cond branches mix stream-varying
+            # carried state with unvaried constants ("cond branches must
+            # have equal output types"), which would need jax.lax.pvary
+            # threading mesh axis names through the mesh-agnostic
+            # cascade code. Re-test on each JAX upgrade.
             check_vma=False,
         )
         self._step = jax.jit(sharded)

@@ -79,19 +79,14 @@ class FaceTracker:
         self.roi_padding = roi_padding
         self.smooth = smooth
         self.fast_sampler = fast_sampler
-        # Default: the ROLLED-WINDOW full-band sampler configuration —
-        # exact sampling at ANY view rotation (FaceMesh input is square,
-        # so the square-view promise holds; see ops/rotated_fast.py),
-        # matching the reference's any-angle rotated views
-        # (image/mod.rs:224-247). Round 2 clamped the sampled view to
-        # ±0.5 rad here; the clamp is gone.
-        if sampler_opts is None:
-            from ..ops.rotated_fast import PRESCALE_M
-
-            sampler_opts = {
-                "band_p": PRESCALE_M, "col_split": 1, "square_views": True,
-            }
-        self.sampler_opts = sampler_opts
+        # Default: the banded sampler's auto configuration, whose y-band
+        # provably covers ANY view rotation at the FaceMesh shapes
+        # (ops/rotated_fast.py `any_rotation`) — matching the reference's
+        # any-angle rotated views (image/mod.rs:224-247). Round 2 clamped
+        # the sampled view to ±0.5 rad here; the clamp is gone. (The
+        # rolled full-band mode also handles any rotation but measured
+        # ~10 ms/step slower at batch 128 — examples/r3bench.py.)
+        self.sampler_opts = sampler_opts or {}
         self.elapsed = 1.0 / frame_rate
         self.num_landmarks = len(self.landmarker.init_estimate().landmarks_mut())
 

@@ -53,6 +53,7 @@ class MultiHandTracker(MultiObjectTracker):
         iou_thresh: float = 0.3,
         fast_sampler: bool = True,
         compute_dtype=None,
+        sampler_opts: dict | None = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs both CNN bodies in bf16 —
         a serving-speed knob (~25-35% per model). CAUTION: measured
@@ -77,7 +78,7 @@ class MultiHandTracker(MultiObjectTracker):
             # square_views holds (aspect_view_rect fits the square 224x224
             # input), enabling the rolled-window mode (~30% faster).
             fast_sampler=fast_sampler,
-            sampler_opts={
+            sampler_opts=sampler_opts if sampler_opts is not None else {
                 "prescale_m": 256, "band_p": 256, "col_split": 1,
                 "square_views": True,
             },

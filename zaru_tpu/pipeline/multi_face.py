@@ -51,11 +51,8 @@ class MultiFaceTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=loss_threshold,
             iou_thresh=iou_thresh,
-            # Rolled-window full-band sampling: exact at ANY face
-            # rotation (square FaceMesh views), no angle clamp —
+            # Banded auto config: exact at ANY face rotation (the y-band
+            # coverage proof holds at FaceMesh shapes), no angle clamp —
             # reference semantics image/mod.rs:224-247.
             fast_sampler=True,
-            sampler_opts={
-                "band_p": 512, "col_split": 1, "square_views": True,
-            },
         )
