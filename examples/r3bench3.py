@@ -86,9 +86,62 @@ def timed(fn, *args, label=""):
     return best / STEPS * 1e3  # ms per scan step
 
 
+def gate_isolation():
+    """Where do the cascade's ~25 ms go beyond the 17.5 ms landmark
+    half? Time step_batch with the gate always taking the track-only
+    branch (all streams tracking, no forced detect)."""
+    import cv2
+
+    from zaru_tpu.assets import fixture_path
+    from zaru_tpu.image import decode as idec
+    from zaru_tpu.pipeline import FaceTracker
+
+    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
+    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
+    frame = np.concatenate(
+        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
+    )
+    frames = jax.jit(
+        lambda f: jnp.broadcast_to(f[None], (B, *f.shape)) + 0
+    )(jax.device_put(jnp.asarray(frame)))
+    np.asarray(frames[0, 0, 0])
+
+    tracker = FaceTracker()
+    state = tracker.init_state(batch=B)
+    state, _ = jax.jit(
+        lambda p, s, f: tracker.step_batch(p, s, f, True)
+    )(tracker.params, state, frames)
+    np.asarray(state["roi"])
+
+    @jax.jit
+    def run(params, state, fr):
+        def body(st, _):
+            st, out = tracker.step_batch(params, st, fr, False)
+            return st, out["confidence"]
+
+        return lax.scan(body, state, None, length=STEPS)
+
+    t0 = time.perf_counter()
+    _s, confs = run(tracker.params, state, frames)
+    np.asarray(confs)
+    log(f"[gate-steady] compile {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _s, confs = run(tracker.params, state, frames)
+        np.asarray(confs)
+        best = min(best, time.perf_counter() - t0)
+        log(f"[gate-steady] window {best * 1e3:.0f} ms best")
+    emit({"bench": "cascade_steady_no_detect",
+          "ms_per_step": round(best / STEPS * 1e3, 2),
+          "fps": round(B * STEPS / best),
+          "tracked": float(np.asarray(confs)[-1].min())})
+
+
 def main():
     dev = jax.devices()[0]
     log(f"on {dev.platform} ({dev.device_kind})")
+    gate_isolation()
     rng = np.random.default_rng(0)
 
     for C, H, W, nb, groups in STAGES:

@@ -714,17 +714,21 @@ def rotated_sample_fast(
 
     if not rolled:
         def rpb_for(cs):
-            # Rows per block: bigger blocks amortize per-block overhead
-            # (the measured kernel limiter), capped so wide blocks
-            # (full-band configs with col_split=1) keep their selection
-            # intermediates VMEM-friendly. ``rows_per_block`` overrides
-            # (bounded by what VMEM actually fits — Mosaic errors loudly
-            # if it doesn't).
-            return rows_per_block or (
-                16
-                if out_h % 16 == 0 and 16 * (out_w // cs) <= 2048
-                else ROWS_PER_BLOCK
-            )
+            # Rows per block: bigger blocks amortize per-block overhead —
+            # the measured kernel limiter (r3bench2: 36 blocks/view at
+            # rpb=32 ran the face sampler in 11.1 ms vs 15.1 at rpb=16
+            # and 23.1 at col_split=12) — capped so blocks keep their
+            # [3P, lanes] selection intermediates VMEM-friendly.
+            # ``rows_per_block`` overrides (bounded by what VMEM actually
+            # fits — Mosaic errors loudly if it doesn't).
+            if rows_per_block:
+                return rows_per_block
+            cols_ = out_w // cs
+            if out_h % 32 == 0 and 32 * cols_ <= 1024:
+                return 32
+            if out_h % 16 == 0 and 16 * cols_ <= 2048:
+                return 16
+            return ROWS_PER_BLOCK
 
         def any_rotation(cs):
             # Banded y-band coverage at ANY rotation: a block's source-y
