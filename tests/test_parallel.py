@@ -56,8 +56,11 @@ def test_sharded_gated_fast_path(mesh, sad_linus_full):
     ref_state = tracker.init_state(batch=batch)
     for _ in range(2):
         ref_state, ref_out = tracker.run_frames_gated(ref_state, frames_np)
+    # Shard-local (batch-1) vs global (batch-8) compilation reassociates
+    # conv/sampler reductions; agreement is numeric (~1e-2 px), not
+    # bitwise — far inside the 1 px parity budget.
     np.testing.assert_allclose(
-        np.asarray(out["landmarks"]), np.asarray(ref_out["landmarks"]), atol=1e-3
+        np.asarray(out["landmarks"]), np.asarray(ref_out["landmarks"]), atol=5e-2
     )
 
 

@@ -311,7 +311,7 @@ def _global_avg_pool(node, vals, statics):
     return jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)
 
 
-def _reduce(node, vals, statics, fn):
+def _reduce(node, vals, statics, fn, *, linear=False):
     x = vals[0]
     axes = node.attrs.get("axes")
     keepdims = bool(node.attrs.get("keepdims", 1))
@@ -321,9 +321,24 @@ def _reduce(node, vals, statics, fn):
         axes = list(range(x.ndim))
     # Reduce one axis at a time: multi-axis reduce over non-adjacent dims
     # trips a Mosaic/XLA-TPU post-optimization shape check; sequential
-    # single-axis reductions lower identically elsewhere.
+    # single-axis reductions lower identically elsewhere. LINEAR
+    # reductions (sum/mean) over the last-two (tiled) dims additionally
+    # lower as a dot with a ones vector: XLA re-fuses chained reduces
+    # (e.g. the global-pool ReduceMean(3)+ReduceMean(2) pattern in
+    # slim_160) back into one multi-axis reduce whose post-optimization
+    # layout check fails on TPU ("Expected instruction to have shape
+    # f32[10,128], actual f32[128,10]"); dot_general avoids the reduce
+    # HLO entirely at identical cost on the MXU.
     for ax in sorted(a % x.ndim for a in axes):
-        x = fn(x, axis=ax, keepdims=True)
+        if linear and x.ndim >= 2 and ax >= x.ndim - 2 and x.shape[ax] > 1:
+            n = x.shape[ax]
+            ones = jnp.ones((n,), x.dtype)
+            red = jnp.tensordot(x, ones, axes=([ax], [0]))
+            if fn is jnp.mean:
+                red = red / np.float32(n)
+            x = jnp.expand_dims(red, ax)
+        else:
+            x = fn(x, axis=ax, keepdims=True)
     if not keepdims:
         x = jnp.squeeze(x, axis=tuple(sorted(a % vals[0].ndim for a in axes)))
     return x
@@ -331,12 +346,12 @@ def _reduce(node, vals, statics, fn):
 
 @register("ReduceMean")
 def _reduce_mean(node, vals, statics):
-    return _reduce(node, vals, statics, jnp.mean)
+    return _reduce(node, vals, statics, jnp.mean, linear=True)
 
 
 @register("ReduceSum")
 def _reduce_sum(node, vals, statics):
-    return _reduce(node, vals, statics, jnp.sum)
+    return _reduce(node, vals, statics, jnp.sum, linear=True)
 
 
 # --- shape / layout ----------------------------------------------------------

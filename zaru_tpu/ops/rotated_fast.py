@@ -83,7 +83,6 @@ PRESCALE_RW = 256    # source rows read per row-chunk (2*63+1+7, padded to
                      # a 128-multiple contraction dim for the int8 MXU)
 PRESCALE_CWW = 384   # source cols read per col-chunk (2*127+1+127 -> 128-mult)
 PRESCALE_SMAX = 2    # max integer stride the kernel's windows cover
-CROP_MAX = 1024      # default max view bbox the static crop targets
 
 
 def _rha(x):
@@ -258,7 +257,7 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
     every view passes `_prescale_coverage_ok`."""
     B, H, W = image_u32.shape
     N = rrect_flat.shape[0]
-    CH, CW = _crop_shape(H, W)
+    CH, CW = _crop_shape(H, W, M)
 
     def coefs_one(rr):
         left, top, sx, sy, bw, bh = _prescale_geometry(rr, M)
@@ -313,12 +312,16 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
     )(coefs, image_u32)
 
 
-def _crop_shape(H: int, W: int):
+def _crop_shape(H: int, W: int, M: int = PRESCALE_M):
     """Static crop-window shape for the Pallas prescale, fitted to the
-    frame: rows cover CROP_MAX + alignment, columns CROP_MAX + lane
-    alignment, both clipped to what the frame can supply."""
-    CH = min(-(-(CROP_MAX + 8) // 8) * 8, (H // 8) * 8)
-    CW = min(-(-(CROP_MAX + 144) // 128) * 128, (W // 128) * 128)
+    frame AND the intermediate size: the kernel handles strides <= 2, so
+    the largest admissible bbox is ~2M — a smaller M needs a
+    proportionally smaller crop (a hand-path M=256 view otherwise DMAs a
+    5.3 MB M=512-sized window for a <=514 px bbox). Rows cover
+    2M + back-off/rounding slack + 8-sublane alignment; columns the same
+    + 128-lane alignment; both clipped to what the frame can supply."""
+    CH = min(-(-(2 * M + 48) // 8) * 8, (H // 8) * 8)
+    CW = min(-(-(2 * M + 168) // 128) * 128, (W // 128) * 128)
     return CH, CW
 
 
@@ -326,7 +329,7 @@ def _prescale_coverage_ok(rrect_flat, M, H, W):
     """Batch-scalar predicate: every view's crop window covers all its
     in-frame sample indices AND its strides fit the kernel's static
     chunk windows (<= PRESCALE_SMAX)."""
-    CH, CW = _crop_shape(H, W)
+    CH, CW = _crop_shape(H, W, M)
     if CH < PRESCALE_RW or CW < PRESCALE_CWW:
         return jnp.asarray(False)
 
@@ -805,7 +808,7 @@ def rotated_sample_fast(
     # The Pallas branch is only *traceable* when the frame can supply its
     # static chunk windows — smaller frames (tiny test images) take the
     # XLA path unconditionally (lax.cond traces both branches).
-    _ch, _cw = _crop_shape(H, W)
+    _ch, _cw = _crop_shape(H, W, M)
     if pallas_prescale and _ch >= PRESCALE_RW and _cw >= PRESCALE_CWW:
         ok = _prescale_coverage_ok(rrect_flat.reshape(N, 5), M, H, W)
         planar = lax.cond(ok, pallas_path, take_path, (image_u32, rrect_flat))

@@ -397,14 +397,19 @@ class FaceTracker:
 
         ``force_detect`` (traced bool) forces the detection branch — the
         production redetect cadence (hand/tracking.rs:41).
+
+        Structure note: only the ROI *sources* go through the cond — the
+        landmark pass (`_track_batch`) runs unconditionally after it.
+        Round 3 measured the earlier both-branches-run-the-tracker shape
+        costing ~3 ms/step extra at batch 128: the cond boundary carried
+        the full landmark output pytree and split the step into XLA
+        computations that could not fuse/overlap.
         """
         all_tracking = jnp.all(state["tracking"]) & jnp.logical_not(force_detect)
-        no_seed = jnp.zeros_like(state["tracking"])
+        tr = state["tracking"]
 
-        def track_only(_):
-            return self._track_batch(
-                params, state, frames, state["roi"], no_seed
-            )
+        def keep(_):
+            return state["roi"], jnp.ones_like(tr), jnp.zeros_like(tr)
 
         def full(_):
             # Batched detection for every stream (one fused sampler+CNN
@@ -412,16 +417,14 @@ class FaceTracker:
             # lax.cond, which executes both branches anyway), then a
             # per-stream select keeps tracked streams' carried ROIs.
             det_rois, det_founds = self._detect_batch(params, frames)
-            tr = state["tracking"]
             rois = jnp.where(tr[:, None], state["roi"], det_rois)
-            founds = tr | det_founds
-            seeded = ~tr
-            new_state, out = self._track_batch(params, state, frames, rois, seeded)
-            new_state = dict(new_state, tracking=new_state["tracking"] & founds)
-            out = dict(out, valid=out["valid"] & founds)
-            return new_state, out
+            return rois, tr | det_founds, ~tr
 
-        return lax.cond(all_tracking, track_only, full, None)
+        rois, founds, seeded = lax.cond(all_tracking, keep, full, None)
+        new_state, out = self._track_batch(params, state, frames, rois, seeded)
+        new_state = dict(new_state, tracking=new_state["tracking"] & founds)
+        out = dict(out, valid=out["valid"] & founds)
+        return new_state, out
 
     # --- convenience host API -------------------------------------------------
 
