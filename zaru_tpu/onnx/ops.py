@@ -331,9 +331,15 @@ def _reduce(node, vals, statics, fn, *, linear=False):
     # HLO entirely at identical cost on the MXU.
     for ax in sorted(a % x.ndim for a in axes):
         if linear and x.ndim >= 2 and ax >= x.ndim - 2 and x.shape[ax] > 1:
+            # The barrier stops XLA fusing the upstream producer (e.g. a
+            # PRelu select) into the reduction — the fused select+reduce
+            # is what trips the layout check even when the reduction is
+            # written as a dot (XLA rewrites degenerate dots back into
+            # reduces).
+            xb = lax.optimization_barrier(x)
             n = x.shape[ax]
             ones = jnp.ones((n,), x.dtype)
-            red = jnp.tensordot(x, ones, axes=([ax], [0]))
+            red = jnp.tensordot(xb, ones, axes=([ax], [0]))
             if fn is jnp.mean:
                 red = red / np.float32(n)
             x = jnp.expand_dims(red, ax)

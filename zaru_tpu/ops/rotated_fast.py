@@ -404,7 +404,7 @@ def _unpack3_i8(band_u32):
 
 def _rotate_kernel(
     coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
-    cols, rows_pb, int8_mxu, hoist_band, rolled=False
+    cols, rows_pb, int8_mxu, hoist_band, rolled=False, fuse3=None
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
@@ -524,7 +524,10 @@ def _rotate_kernel(
     # The fused 3-channel matmul makes one [3P, lanes] selection
     # intermediate; fall back to a per-channel loop when that would
     # crowd VMEM (large full-band configs: P=M, col_split=1).
-    fused3 = 3 * P * lanes * 4 <= 4 * 2**20
+    # ``fuse3`` overrides the heuristic (perf A/B knob).
+    fused3 = (
+        fuse3 if fuse3 is not None else 3 * P * lanes * 4 <= 4 * 2**20
+    )
     ind = ((xrel >= 0) & (xrel < XW) & (yrel >= 0) & (yrel < P))
     if int8_mxu:
         # Channel values re-biased to [-128, 127] (px - 128 exactly). The
@@ -586,7 +589,7 @@ def _rotate_kernel(
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
-        "pallas_prescale",
+        "pallas_prescale", "fuse3",
     ),
 )
 def rotated_sample_fast(
@@ -606,6 +609,7 @@ def rotated_sample_fast(
     rows_per_block: int | None = None,
     square_views: bool = False,
     pallas_prescale: bool = True,
+    fuse3: bool | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -824,7 +828,7 @@ def rotated_sample_fast(
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
         cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
-        hoist_band=hoist_band, rolled=rolled,
+        hoist_band=hoist_band, rolled=rolled, fuse3=fuse3,
     )
     if hoist_band:
         kern = lambda coef_ref, planar_ref, out_ref: kernel(
