@@ -186,9 +186,12 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
     # Variance-based retry: measure back-to-back windows (no idling —
     # there is no quota; see quiet_fps) until either a window clears the
     # healthy level or the best-so-far has plateaued (no >2% improvement
-    # over the last 4 windows after at least 6).
+    # over the last 4 windows after at least 6). Always measure at least
+    # one window even if the compile consumed the budget — a child that
+    # compiled but never measured reports nothing (the round-2 failure
+    # mode, and windows cost ~0.5 s each once compiled).
     history = []
-    while time.monotonic() < deadline:
+    while True:
         fps = one_window()
         history.append(fps)
         best = max(best, fps)
@@ -200,6 +203,9 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
         if len(history) >= 6 and max(history[-4:]) <= best * 0.98:
             log(f"[B={batch}] plateaued at {best:.0f} fps after "
                 f"{len(history)} windows (contended but stable)")
+            break
+        if time.monotonic() > deadline:
+            log(f"[B={batch}] budget exhausted after {len(history)} windows")
             break
     if measure_p50:
         report_p50()
