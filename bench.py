@@ -31,10 +31,12 @@ BENCHMARKS.md.) Robustness on the shared, occasionally-wedging chip:
   a window comfortably beats the healthy level OR the best-so-far
   plateaus (contention is persistent load, not a quota — idling between
   attempts only wastes budget);
-- the parent runs the batch-8 configuration FIRST (its fps and p50 are
-  required artifact contents) with a bounded slice, then spends the rest
-  of the wall budget (ZARU_BENCH_BUDGET, default 1140 s) on the batch-128
-  headline, respawns wedged children, answers SIGTERM/SIGINT with the
+- the parent runs the batch-128 headline first under a HARD cap (its
+  programs reliably hit the compile cache), then hands batch-8 — whose
+  fps and p50 are required artifact contents but whose scan program
+  persistently misses the remote compile cache (150-500 s) — the whole
+  remaining wall budget (ZARU_BENCH_BUDGET, default 1140 s), retries the
+  headline with any leftover, answers SIGTERM/SIGINT with the
   best-so-far JSON line, and always prints the JSON line exactly once.
 """
 
@@ -353,37 +355,39 @@ def main() -> None:
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    # Batch-8 FIRST: BASELINE.md requires the p50 per-frame latency and
-    # the batch-8 fps in the artifact, and round 2 lost both by letting
-    # the headline configuration burn the whole budget (VERDICT r2
-    # missing #1). The batch-8 scan + gated-step programs are prewarmed
-    # into .jax_cache, so this slice is cheap when the cache hits and
-    # bounded when it doesn't.
-    small_budget = min(300.0, BUDGET * 0.35)
-    run = ChildRun(BATCH_SMALL, small_budget, measure_p50=True)
+    # BASELINE.md requires the batch-8 fps and the p50 per-frame latency
+    # in the artifact, and round 2 lost both by letting the headline
+    # configuration burn the whole budget (VERDICT r2 missing #1). The
+    # batch-8 SCAN program also persistently misses the remote compile
+    # cache across processes (150-500 s observed), while the batch-128
+    # program reliably hits it — so run batch-128 first under a HARD cap
+    # (cheap when cached), then hand batch-8 everything that remains
+    # (the largest slice this budget can guarantee it).
+    large_cap = min(300.0, BUDGET * 0.4)
+    run = ChildRun(BATCH_LARGE, large_cap, measure_p50=False)
     run.wait()
-    _results[BATCH_SMALL] = {"fps": run.best_fps, "p50_ms": run.p50_ms}
+    _results[BATCH_LARGE] = {"fps": run.best_fps}
 
-    # Headline (batch 128) with the remaining budget; respawn wedged
-    # children while time remains.
-    fruitless = 0
-    while True:
-        child_budget = deadline - time.monotonic()
-        if child_budget < 60:
-            break
-        run = ChildRun(BATCH_LARGE, child_budget, measure_p50=False)
+    remaining = deadline - time.monotonic()
+    if remaining > 60:
+        run = ChildRun(BATCH_SMALL, remaining - 30, measure_p50=True)
         run.wait()
-        prev = _results.setdefault(BATCH_LARGE, {})
+        _results[BATCH_SMALL] = {"fps": run.best_fps, "p50_ms": run.p50_ms}
+
+    # Any leftover budget: retry the headline if it under-recorded
+    # (wedged child / heavy contention), keeping the best window.
+    while (
+        _results[BATCH_LARGE].get("fps", 0.0) < quiet_fps(BATCH_LARGE)
+        and deadline - time.monotonic() > 90
+    ):
+        run = ChildRun(
+            BATCH_LARGE, deadline - time.monotonic() - 20, measure_p50=False
+        )
+        run.wait()
+        prev = _results[BATCH_LARGE]
         prev["fps"] = max(prev.get("fps", 0.0), run.best_fps)
-        if run.done or prev["fps"] >= quiet_fps(BATCH_LARGE):
+        if run.done:
             break
-        fruitless = 0 if run.best_fps > 0 else fruitless + 1
-        if fruitless >= 3:
-            log(f"[B={BATCH_LARGE}] 3 consecutive children measured nothing; "
-                "giving up on this configuration")
-            break
-        log(f"[B={BATCH_LARGE}] child ended without RESULT (wedge?); "
-            f"{deadline - time.monotonic():.0f}s left")
 
     print_final()
 

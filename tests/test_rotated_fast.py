@@ -302,3 +302,23 @@ def test_banded_auto_any_rotation(theta):
     assert np.abs(ex_y - fa_y)[valid].max() <= 1
     exact_frac = (fast[valid] == exact[valid][..., :3]).all(-1).mean()
     assert exact_frac > 0.999, exact_frac
+
+
+@pytest.mark.parametrize("theta", [0.2, 1.1, -2.5])
+def test_resident_banded_bit_identical(theta):
+    """RESIDENT banded mode (whole intermediate as a per-view VMEM
+    block, windows as aligned slices) must match the per-block-DMA
+    banded kernel BIT-identically."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrects = np.asarray(
+        [[900, 500, 320, 320, theta], [960, 540, 700, 700, -theta]],
+        np.float32,
+    )
+    args = (jnp.asarray(np.stack([img, img])), jnp.asarray(rrects),
+            192, 192, 0.0, 255.0)
+    dma = np.asarray(rotated_sample_fast(*args, interpret=True))
+    res = np.asarray(
+        rotated_sample_fast(*args, interpret=True, resident=True)
+    )
+    np.testing.assert_array_equal(res, dma)

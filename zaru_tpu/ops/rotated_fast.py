@@ -404,7 +404,8 @@ def _unpack3_i8(band_u32):
 
 def _rotate_kernel(
     coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
-    cols, rows_pb, int8_mxu, hoist_band, rolled=False, fuse3=None
+    cols, rows_pb, int8_mxu, hoist_band, rolled=False, fuse3=None,
+    resident=False,
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
@@ -473,21 +474,26 @@ def _rotate_kernel(
                 jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
             )
         else:
-            # Banded config: per-block DMA; lane offsets must be
-            # 128-aligned (the <=127-column loss is covered by the
-            # x-window margin proof).
+            # Banded config; lane offsets must be 128-aligned (the
+            # <=127-column loss is covered by the x-window margin proof).
             xstart = jnp.clip(
                 jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW
             )
             xstart = pl.multiple_of((xstart // 128) * 128, 128)
 
-            # One [P, XW] u32 window DMA (whole pixels; channels unpack
-            # in VMEM below).
-            cp = pltpu.make_async_copy(
-                planar_ref.at[b, pl.ds(start, P), pl.ds(xstart, XW)],
-                band, sem,
-            )
-            cp.start()
+            if not resident:
+                # One [P, XW] u32 window DMA (whole pixels; channels
+                # unpack in VMEM below). In RESIDENT mode the whole
+                # intermediate is a per-view VMEM block instead and the
+                # window is an aligned slice of it — one 1 MB stream per
+                # view beats 30+ scattered per-block window DMAs,
+                # especially for tilted views whose windows land on
+                # scattered rows.
+                cp = pltpu.make_async_copy(
+                    planar_ref.at[b, pl.ds(start, P), pl.ds(xstart, XW)],
+                    band, sem,
+                )
+                cp.start()
 
     t = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     jj = (t % cols).astype(jnp.float32) + j0
@@ -518,6 +524,8 @@ def _rotate_kernel(
         band = win  # [P, XW] u32
     elif hoist_band:
         band = planar_ref[0]  # [M, M] u32 for view b, resident in VMEM
+    elif resident:
+        band = planar_ref[0, pl.ds(start, P), pl.ds(xstart, XW)]
     else:
         cp.wait()
         band = band[:]
@@ -589,7 +597,7 @@ def _rotate_kernel(
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
-        "pallas_prescale", "fuse3",
+        "pallas_prescale", "fuse3", "resident",
     ),
 )
 def rotated_sample_fast(
@@ -610,6 +618,7 @@ def rotated_sample_fast(
     square_views: bool = False,
     pallas_prescale: bool = True,
     fuse3: bool | None = None,
+    resident: bool | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -825,12 +834,20 @@ def rotated_sample_fast(
     # it once per view and reuses it across all (blk, cb) grid steps,
     # instead of re-issuing the [P, XW] DMA per block.
     hoist_band = rolled or (P == M and XW == M)
+    # RESIDENT banded mode: deliver the whole [M, M] u32 intermediate as
+    # a per-view VMEM block (like the full-band/rolled modes) and take
+    # each block's window as an aligned slice — replaces the per-block
+    # window DMAs. Defaults off pending measurement (A/B knob).
+    if resident is None:
+        resident = False
+    resident = bool(resident) and not hoist_band
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
         cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
         hoist_band=hoist_band, rolled=rolled, fuse3=fuse3,
+        resident=resident,
     )
-    if hoist_band:
+    if hoist_band or resident:
         kern = lambda coef_ref, planar_ref, out_ref: kernel(
             coef_ref, planar_ref, out_ref, None, None
         )
