@@ -836,10 +836,13 @@ def rotated_sample_fast(
     hoist_band = rolled or (P == M and XW == M)
     # RESIDENT banded mode: deliver the whole [M, M] u32 intermediate as
     # a per-view VMEM block (like the full-band/rolled modes) and take
-    # each block's window as an aligned slice — replaces the per-block
-    # window DMAs. Defaults off pending measurement (A/B knob).
+    # each block's window as an aligned slice — replaces 30+ scattered
+    # per-block window DMAs with one streamed copy per view. Measured at
+    # the face shape (batch 128): 11.2 -> 8.9 ms/step upright,
+    # 16.5 -> 14.1 tilted. Default ON whenever the intermediate fits
+    # VMEM comfortably (<= 2 MB, i.e. M <= 724).
     if resident is None:
-        resident = False
+        resident = M * M * 4 <= 2 * 2**20
     resident = bool(resident) and not hoist_band
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
