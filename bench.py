@@ -223,13 +223,23 @@ _live_children: list["ChildRun"] = []
 
 
 class ChildRun:
-    """Runs one child, streaming PARTIAL/RESULT lines; kill-safe."""
+    """Runs one child, streaming PARTIAL/RESULT lines; kill-safe.
+
+    Wedge handling: the tunnel occasionally stalls whole programs for
+    many minutes (observed 2026-08-17: a prewarmed, cache-hitting
+    batch-128 child produced zero windows in 540 s, minutes after the
+    same program ran at 7k fps). ``wait`` therefore supports an early
+    "silent kill": if the child has streamed no measurement at all for
+    ``silent_kill`` seconds it is presumed wedged and killed, freeing
+    the remaining wall budget for the other configuration / retries.
+    """
 
     def __init__(self, batch: int, budget: float, measure_p50: bool):
         self.batch = batch
         self.best_fps = 0.0
         self.p50_ms = None
         self.done = False
+        self.got_output = False
         _live_children.append(self)
         self._proc = subprocess.Popen(
             [
@@ -255,6 +265,7 @@ class ChildRun:
             line = line.strip()
             if line.startswith(("PARTIAL ", "RESULT ")):
                 rec = json.loads(line.split(" ", 1)[1])
+                self.got_output = True
                 if "fps" in rec:
                     self.best_fps = max(self.best_fps, float(rec["fps"]))
                 if "p50_ms" in rec:
@@ -266,14 +277,34 @@ class ChildRun:
         if self._proc.poll() is None:
             self._proc.kill()
 
-    def wait(self) -> None:
-        # Grace covers compile + upload on top of the child's own budget.
-        try:
-            self._proc.wait(timeout=self._budget + 240)
-        except subprocess.TimeoutExpired:
-            log(f"[B={self.batch}] child exceeded budget+grace; killing")
-            self._proc.kill()
-            self._proc.wait()
+    def wait(self, max_wait: float | None = None,
+             silent_kill: float | None = None) -> None:
+        # Grace covers compile + upload on top of the child's own budget;
+        # max_wait (if given) caps the total regardless, so a phase can
+        # guarantee leftover budget to later phases.
+        cap = self._budget + 240
+        if max_wait is not None:
+            cap = min(cap, max_wait)
+        start = time.monotonic()
+        while self._proc.poll() is None:
+            elapsed = time.monotonic() - start
+            if elapsed > cap:
+                log(f"[B={self.batch}] child exceeded budget+grace; killing")
+                self._proc.kill()
+                break
+            if (
+                silent_kill is not None
+                and not self.got_output
+                and elapsed > silent_kill
+            ):
+                log(
+                    f"[B={self.batch}] no measurement after "
+                    f"{elapsed:.0f}s (wedged tunnel?); killing"
+                )
+                self._proc.kill()
+                break
+            time.sleep(2)
+        self._proc.wait()
         self._reader.join(timeout=10)
         _live_children.remove(self)
 
@@ -363,15 +394,24 @@ def main() -> None:
     # program reliably hits it — so run batch-128 first under a HARD cap
     # (cheap when cached), then hand batch-8 everything that remains
     # (the largest slice this budget can guarantee it).
+    # The cached batch-128 program reaches its first window in well under
+    # 300 s (compile-from-cache + one scan); a child silent for 360 s is a
+    # wedged tunnel — kill early instead of burning the full grace.
     large_cap = min(300.0, BUDGET * 0.4)
     run = ChildRun(BATCH_LARGE, large_cap, measure_p50=False)
-    run.wait()
+    run.wait(silent_kill=360.0)
     _results[BATCH_LARGE] = {"fps": run.best_fps}
 
     remaining = deadline - time.monotonic()
     if remaining > 60:
+        # If the headline recorded nothing (wedge), cap this phase's wall
+        # time so the retry below is guaranteed a slice; 420 s still
+        # covers the batch-8 scan's observed worst fresh compile.
+        max_wait = None
+        if not _results[BATCH_LARGE]["fps"]:
+            max_wait = max(420.0, remaining - 240.0)
         run = ChildRun(BATCH_SMALL, remaining - 30, measure_p50=True)
-        run.wait()
+        run.wait(max_wait=max_wait, silent_kill=600.0)
         _results[BATCH_SMALL] = {"fps": run.best_fps, "p50_ms": run.p50_ms}
 
     # Any leftover budget: retry the headline if it under-recorded
@@ -383,7 +423,7 @@ def main() -> None:
         run = ChildRun(
             BATCH_LARGE, deadline - time.monotonic() - 20, measure_p50=False
         )
-        run.wait()
+        run.wait(silent_kill=360.0)
         prev = _results[BATCH_LARGE]
         prev["fps"] = max(prev.get("fps", 0.0), run.best_fps)
         if run.done:
