@@ -73,11 +73,11 @@ DETECT_EVERY = 9
 def quiet_fps(batch: int) -> float:
     # batch 8 is dominated by batch-independent per-step cost. Headline
     # batch: after the round-3 sampler rework (Pallas crop-resident
-    # prescale + 36-block banded windows) the steady no-detect state
-    # measures 16.6 ms/step = 7.7k fps and the production cadence ~7.3k
-    # quiet (examples/r3bench2/3) — early-exit just under it so
-    # contended windows keep retrying without discarding healthy runs.
-    return 7000.0 if batch >= 64 else 1000.0
+    # prescale + banded windows + the x-roll extraction, which cut the
+    # face sampler to ~8 ms/step — examples/r3bench5.py) the production
+    # cadence runs ~7.5k quiet — early-exit just under it so contended
+    # windows keep retrying without discarding healthy runs.
+    return 7400.0 if batch >= 64 else 1000.0
 
 
 def log(*a):

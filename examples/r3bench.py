@@ -132,12 +132,23 @@ def main():
                     pallas_prescale=True,
                 )
             )
+            # x-roll banded (round-3 default for faces): roll-extracted
+            # unaligned windows must match the full-band result bit-for-
+            # bit on device too.
+            xr = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **common,
+                    band_p=192, rows_per_block=64, win_x=128, xroll=True,
+                )
+            )
             emit({
                 "check": "device_parity", "theta": theta,
                 "rolled_eq_plain": bool((rolled == plain).all()),
                 "pallas_prescale_eq": bool((pp == rolled).all()),
+                "xroll_eq": bool((xr == pp).all()),
                 "max_abs_diff": float(np.abs(rolled - plain).max()),
                 "pp_max_abs_diff": float(np.abs(pp - rolled).max()),
+                "xroll_max_abs_diff": float(np.abs(xr - pp).max()),
             })
 
     def scan_sampler(label, theta=0.12, **opts):

@@ -322,3 +322,42 @@ def test_resident_banded_bit_identical(theta):
         rotated_sample_fast(*args, interpret=True, resident=True)
     )
     np.testing.assert_array_equal(res, dma)
+
+
+@pytest.mark.parametrize("theta", [0.0, 0.7, 1.9, -2.8])
+def test_xroll_banded_bit_identical(theta):
+    """x-roll mode (roll-extracted unaligned x-windows, win_x at the
+    span bound) must match the aligned resident banded kernel
+    BIT-identically at any rotation — including non-square views (the
+    x-span LP bound is rotation-independent; no square promise)."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrects = np.asarray(
+        [[900, 500, 320, 320, theta], [960, 540, 700, 560, -theta]],
+        np.float32,
+    )
+    args = (jnp.asarray(np.stack([img, img])), jnp.asarray(rrects),
+            192, 192, 0.0, 255.0)
+    base = np.asarray(rotated_sample_fast(*args, interpret=True,
+                                          resident=True))
+    xr = np.asarray(
+        rotated_sample_fast(*args, interpret=True, resident=True,
+                            win_x=128, xroll=True)
+    )
+    np.testing.assert_array_equal(xr, base)
+
+
+def test_xroll_requires_resident_and_headroom():
+    """xroll silently degrades to the aligned path when resident is off
+    or M < win_x + 128 — results must still be exact."""
+    H, W = 512, 512
+    img = coord_image(H, W)
+    rrect = np.asarray([[256, 256, 200, 200, 0.4]], np.float32)
+    args = (jnp.asarray(img[None]), jnp.asarray(rrect), 192, 192,
+            0.0, 255.0)
+    for kw in (dict(resident=False), dict(prescale_m=256, win_x=192)):
+        base = np.asarray(rotated_sample_fast(*args, interpret=True, **kw))
+        out = np.asarray(
+            rotated_sample_fast(*args, interpret=True, xroll=True, **kw)
+        )
+        np.testing.assert_array_equal(out, base)

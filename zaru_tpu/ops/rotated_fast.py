@@ -405,7 +405,7 @@ def _unpack3_i8(band_u32):
 def _rotate_kernel(
     coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
     cols, rows_pb, int8_mxu, hoist_band, rolled=False, fuse3=None,
-    resident=False,
+    resident=False, xroll=False,
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
@@ -473,6 +473,15 @@ def _rotate_kernel(
             xstart = jnp.clip(
                 jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
             )
+        elif xroll:
+            # Banded + x-roll (resident only): like the rolled mode, a
+            # dynamic lane roll below replaces the 128-lane alignment, so
+            # the window start needs no alignment and XW shrinks to the
+            # coverage bound itself (~2x less one-hot contraction than
+            # the aligned banded window).
+            xstart = jnp.clip(
+                jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
+            )
         else:
             # Banded config; lane offsets must be 128-aligned (the
             # <=127-column loss is covered by the x-window margin proof).
@@ -524,6 +533,18 @@ def _rotate_kernel(
         band = win  # [P, XW] u32
     elif hoist_band:
         band = planar_ref[0]  # [M, M] u32 for view b, resident in VMEM
+    elif resident and xroll:
+        # Unaligned x window from the resident intermediate: 128-aligned
+        # pre-slice of width XW + 128, ONE dynamic lane roll brings
+        # source column ``xstart`` to lane 0 (same extraction as the
+        # rolled mode, under banded blocking — works for any views, no
+        # square promise needed, since the x-span LP bound is
+        # rotation-independent).
+        x128 = jnp.clip((xstart // 128) * 128, 0, M - (XW + 128))
+        x128 = pl.multiple_of(x128, 128)
+        off = xstart - x128  # in [0, 128]
+        win = planar_ref[0, pl.ds(start, P), pl.ds(x128, XW + 128)]
+        band = pltpu.roll(win, (XW + 128) - off, axis=1)[:, :XW]
     elif resident:
         band = planar_ref[0, pl.ds(start, P), pl.ds(xstart, XW)]
     else:
@@ -597,7 +618,7 @@ def _rotate_kernel(
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
-        "pallas_prescale", "fuse3", "resident",
+        "pallas_prescale", "fuse3", "resident", "xroll",
     ),
 )
 def rotated_sample_fast(
@@ -619,6 +640,7 @@ def rotated_sample_fast(
     pallas_prescale: bool = True,
     fuse3: bool | None = None,
     resident: bool | None = None,
+    xroll: bool | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -662,6 +684,20 @@ def rotated_sample_fast(
       strides <= 2, bboxes within the static crop window), falling back
       to the XLA take path per batch otherwise. Both paths produce
       index-identical intermediates; the knob exists for A/B timing.
+    - ``xroll``: in the RESIDENT banded mode, extract each block's
+      x-window with a 128-aligned pre-slice + one dynamic lane roll
+      (exactly the rolled mode's extraction) instead of a 128-aligned
+      slice. Drops the <=127-column alignment loss from the coverage
+      requirement, so ``win_x`` can shrink to the span bound itself
+      (e.g. 128 instead of 256 at the face shape — ~2x less one-hot
+      contraction). Exact for ANY views (the x-span LP bound is
+      rotation-independent; no square promise involved). Requires the
+      resident mode and ``M >= win_x + 128``; silently ignored
+      otherwise. Default (None): auto-ON for resident BANDED configs
+      with ``win_x`` unset, which then defaults to 128 — measured
+      9.8 -> 8.7 ms/step at the face shape, bit-identical
+      (examples/r3bench5.py). Full-band configs (``band_p ==
+      prescale_m``) keep the rolled mode instead.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -670,6 +706,26 @@ def rotated_sample_fast(
     M = prescale_m or PRESCALE_M
     P = min(band_p or BAND_P, M)
     XW = min(win_x or WIN_X, M)
+    # x-roll needs the resident intermediate (its pre-slice reads the
+    # whole [M, M] VMEM block) and room for the 128-lane pre-slice;
+    # resolve the resident auto-default early so both the coverage bound
+    # and the kernel agree. (A full-band/rolled config downgrades
+    # ``resident`` below; those modes never consult ``covered`` with an
+    # active window, so the early resolution stays consistent.)
+    if resident is None:
+        resident = M * M * 4 <= 2 * 2**20
+    if xroll is None:
+        # Auto-ON for resident banded configs: the roll-extracted window
+        # shrinks to the span bound (XW 256 -> 128 at the face shape) —
+        # measured 9.8 -> 8.7 ms/step upright, 14.6 -> 13.8 tilted, at
+        # batch 128 (examples/r3bench5.py), bit-identical results.
+        # P < M keeps full-band configs (band_p == prescale_m, e.g. the
+        # hand path's rolled M=256) on their own mode — the rolled-mode
+        # search below requires XW == M.
+        xroll = bool(resident) and win_x is None and M >= 256 and P < M
+    if xroll and win_x is None:
+        XW = min(128, M)
+    xroll = bool(xroll) and bool(resident) and XW < M and M >= XW + 128
 
     # Rolled-window mode for full-band configs (see _rotate_kernel): with
     # SQUARE views (w == h ⇒ sx == sy, e.g. every cascade ROI — all CNN
@@ -726,7 +782,11 @@ def rotated_sample_fast(
     # round-half-away, |c|+|s| <= sqrt(2)) plus up to ~2 px of additional
     # margin error at stride > 1; 10 px of slack covers both with room.
     def covered(cs):
-        return XW - 128 >= (M - PRESCALE_MARGIN) / cs + 10
+        # x-roll replaces the 128-lane DMA alignment (and its <=127-col
+        # loss) with a dynamic roll; only the span + rounding slack must
+        # fit the window then.
+        slack = 0 if xroll else 128
+        return XW - slack >= (M - PRESCALE_MARGIN) / cs + 10
 
     if not rolled:
         def rpb_for(cs):
@@ -775,9 +835,11 @@ def rotated_sample_fast(
                 4 if out_w % 4 == 0 else 1,
             )
         # Never silently clip: without a coverage proof, disable the
-        # window.
+        # window (and the roll extraction, whose pre-slice needs
+        # XW + 128 <= M).
         if not covered(col_split):
             XW = M
+            xroll = False
         rows_pb = rpb_for(col_split)
     assert out_w % col_split == 0
     assert out_h % rows_pb == 0
@@ -841,14 +903,13 @@ def rotated_sample_fast(
     # the face shape (batch 128): 11.2 -> 8.9 ms/step upright,
     # 16.5 -> 14.1 tilted. Default ON whenever the intermediate fits
     # VMEM comfortably (<= 2 MB, i.e. M <= 724).
-    if resident is None:
-        resident = M * M * 4 <= 2 * 2**20
     resident = bool(resident) and not hoist_band
+    xroll = xroll and resident
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
         cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
         hoist_band=hoist_band, rolled=rolled, fuse3=fuse3,
-        resident=resident,
+        resident=resident, xroll=xroll,
     )
     if hoist_band or resident:
         kern = lambda coef_ref, planar_ref, out_ref: kernel(

@@ -35,7 +35,23 @@ from ..filters import OneEuroFilter
 from ..geometry import rect_grow_rel, rrect_bounding, signed_angle_to_x
 from . import _ops
 
-__all__ = ["FaceTracker", "FaceTrackerState"]
+__all__ = ["FaceTracker", "FaceTrackerState", "default_face_sampler_opts"]
+
+
+def default_face_sampler_opts(lm_cnn) -> dict:
+    """Measured-best fast-sampler config for the face landmark shapes.
+
+    band_p=192 / rows_per_block=64 (fewer, bigger banded blocks; with the
+    auto x-roll window) ran 8.44 ms/step upright and 12.9 tilted at batch
+    128 vs 8.73/13.8 for the base auto config (examples/r3bench5.py) —
+    the `any_rotation` y-band proof holds at these shapes, so rotation
+    coverage is unchanged. Only applies when the landmark input height
+    divides into 64-row blocks (FaceMesh 192/256); other landmarkers
+    (e.g. 160/112-px 68-point nets) keep the sampler's own auto config.
+    """
+    if lm_cnn.input_resolution().height % 64 == 0:
+        return {"band_p": 192, "rows_per_block": 64}
+    return {}
 
 FaceTrackerState = dict  # pytree: roi [5], tracking [], filter state
 
@@ -86,7 +102,10 @@ class FaceTracker:
         # the sampled view to ±0.5 rad here; the clamp is gone. (The
         # rolled full-band mode also handles any rotation but measured
         # ~10 ms/step slower at batch 128 — examples/r3bench.py.)
-        self.sampler_opts = sampler_opts or {}
+        self.sampler_opts = (
+            default_face_sampler_opts(self.lm_cnn)
+            if sampler_opts is None else sampler_opts
+        )
         self.elapsed = 1.0 / frame_rate
         self.num_landmarks = len(self.landmarker.init_estimate().landmarks_mut())
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from ..face.detection import ShortRangeNetwork
 from ..face.landmark.mediapipe import FaceMeshV1, LandmarkIdx
 from ..geometry import signed_angle_to_x
+from .face_cascade import default_face_sampler_opts
 from .multi_object import MultiObjectTracker
 
 __all__ = ["MultiFaceTracker"]
@@ -40,9 +41,10 @@ class MultiFaceTracker(MultiObjectTracker):
         loss_threshold: float = 0.5,
         iou_thresh: float = 0.3,
     ):
+        landmarker = landmarker or FaceMeshV1()
         super().__init__(
             detector or ShortRangeNetwork(),
-            landmarker or FaceMeshV1(),
+            landmarker,
             residual_angle=_face_residual_angle,
             grow_by=0.0,  # detection box used as-is (facemesh.rs:50-54)
             roi_padding=0.3,
@@ -53,6 +55,8 @@ class MultiFaceTracker(MultiObjectTracker):
             iou_thresh=iou_thresh,
             # Banded auto config: exact at ANY face rotation (the y-band
             # coverage proof holds at FaceMesh shapes), no angle clamp —
-            # reference semantics image/mod.rs:224-247.
+            # reference semantics image/mod.rs:224-247. Blocking per the
+            # measured-best face config (r3bench5).
             fast_sampler=True,
+            sampler_opts=default_face_sampler_opts(landmarker.cnn()),
         )
