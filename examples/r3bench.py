@@ -150,6 +150,34 @@ def main():
                 "pp_max_abs_diff": float(np.abs(pp - rolled).max()),
                 "xroll_max_abs_diff": float(np.abs(xr - pp).max()),
             })
+        # Crop-class parity on device: the 420-px case above runs the
+        # stride-1 class; pin the stride-2 (700 px tilted) and stride-3
+        # (836 px at theta=1.0 — the round-3 tilt-cliff view) classes
+        # against the take path on the face serving config too.
+        for size, theta, cls in ((700.0, 0.9, 2), (836.0, 1.0, 3)):
+            rr = jnp.asarray(
+                np.asarray([[960, 540, size, size, theta]], np.float32)
+            )
+            cfg = dict(
+                out_w=192, out_h=192, lo=0.0, hi=255.0,
+                band_p=192, rows_per_block=64, win_x=128, xroll=True,
+            )
+            via_pallas = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **cfg, pallas_prescale=True
+                )
+            )
+            via_take = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **cfg, pallas_prescale=False
+                )
+            )
+            emit({
+                "check": "device_parity_stride_class", "smax": cls,
+                "size": size, "theta": theta,
+                "pallas_eq_take": bool((via_pallas == via_take).all()),
+                "max_abs_diff": float(np.abs(via_pallas - via_take).max()),
+            })
 
     def scan_sampler(label, theta=0.12, **opts):
         @jax.jit

@@ -225,17 +225,46 @@ def test_pallas_prescale_bit_identical(case):
     np.testing.assert_array_equal(via_pallas, via_take)
 
 
+def test_pallas_prescale_stride3_class():
+    """The rotation-inflated serving regime (836 px square view at
+    theta=1.0 -> 1157 px bbox, stride 3): rejected by the tight stride-2
+    class, admitted by the wide stride-3 class, and BIT-identical to the
+    take path (the round-3 tilt cliff: 8.4 -> 12.9 ms/step was this view
+    falling to the take fallback)."""
+    from zaru_tpu.ops.rotated_fast import _prescale_coverage_ok
+
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([[1038, 595, 836, 836, 1.0]], np.float32)
+    assert not bool(
+        _prescale_coverage_ok(jnp.asarray(rrect), PRESCALE_M, H, W, 2)
+    ), "case unexpectedly fits the tight class — not exercising stride 3"
+    assert bool(
+        _prescale_coverage_ok(jnp.asarray(rrect), PRESCALE_M, H, W, 3)
+    ), "stride-3 class rejected the case it exists for"
+    args = (jnp.asarray(img[None]), jnp.asarray(rrect), 192, 192, 0.0, 255.0)
+    via_pallas = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=True)
+    )
+    via_take = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=False)
+    )
+    np.testing.assert_array_equal(via_pallas, via_take)
+
+
 def test_pallas_prescale_fallback_large_view():
-    """Views beyond the kernel's static coverage (stride >= 3) must take
-    the XLA fallback branch of the cond and still sample correctly."""
+    """Views beyond every crop class's static coverage (stride >= 4)
+    must take the XLA fallback branch of the cond chain and still sample
+    correctly."""
     from zaru_tpu.ops.rotated_fast import _prescale_coverage_ok
 
     H, W = 1080, 1920
     img = coord_image(H, W)
     rrect = np.asarray([[960, 540, 1500, 900, 0.1]], np.float32)
-    assert not bool(
-        _prescale_coverage_ok(jnp.asarray(rrect), PRESCALE_M, H, W)
-    )
+    for smax in (2, 3):
+        assert not bool(
+            _prescale_coverage_ok(jnp.asarray(rrect), PRESCALE_M, H, W, smax)
+        )
     args = (jnp.asarray(img[None]), jnp.asarray(rrect), 192, 192, 0.0, 255.0)
     via_cond = np.asarray(
         rotated_sample_fast(*args, interpret=True, pallas_prescale=True)

@@ -17,10 +17,13 @@ mask-reductions), no pointwise gathers:
      DMA'd ONCE per view into VMEM, then rows and columns are selected
      with blocked one-hot int8 MXU matmuls (round 2's XLA index-vector
      ``take`` implementation was gather-overhead-bound: its row take
-     alone cost ~8.6 ms of the ~21 ms cascade step at batch 128);
-   - the original XLA take path as exact fallback for views the static
-     crop window can't cover (stride > 2, bbox beyond the crop size,
-     frames narrower than the aligned crop).
+     alone cost ~8.6 ms of the ~21 ms cascade step at batch 128). Three
+     static crop classes are compiled (stride bounds 1 / 2 / 3; the
+     tightest admissible class runs) so small views pay small crop DMAs
+     and rotation-inflated bboxes stay on the fast lane;
+   - the original XLA take path as exact fallback for views no crop
+     class covers (stride > 3, bbox beyond the crop size, frames
+     narrower than the aligned crop).
 
    OOB pixels become 0 like the exact sampler, and both paths are
    index-for-index identical (integer source indices on the same grid).
@@ -73,16 +76,37 @@ ROWS_PER_BLOCK = 8
 PRESCALE_MARGIN = 2.0  # prescale bbox slack (matches the exact path)
 
 # Pallas-prescale blocking: RQ x CQ output chunks selected per matmul pair
-# from a per-view VMEM-resident frame crop. Strides are bounded at 2 (the
-# XLA take path covers the rest via the batch-scalar cond), so a row chunk
-# reads <= 2*(RQ-1)+1 source rows (+7 sublane alignment) and a column
-# chunk <= 2*(CQ-1)+1 source columns (+127 lane alignment).
+# from a per-view VMEM-resident frame crop. Three static crop classes
+# are compiled, bounded at stride 1, 2, and 3 (the XLA take path covers
+# the rest via nested batch-scalar conds); a row chunk reads
+# <= smax*(RQ-1)+1 source rows (+7 sublane alignment) and a column chunk
+# <= smax*(CQ-1)+1 source columns (+127 lane alignment). The tightest
+# admissible class runs (smallest crop DMA + selection matmuls): the
+# stride-1 class covers bbox <= M bit-exactly with a ~3x smaller crop
+# than stride 2; the stride-3 class keeps tilted large views off the
+# slow take fallback — a view's axis-aligned bbox inflates by
+# (cos+sin) <= sqrt(2) under rotation, so e.g. the 836 px face ROI is
+# stride 2 upright but stride 3 at 45-ish degrees (round-3 tilt cliff:
+# 8.4 -> 12.9 ms/step, TODO_NEXT #1/#8; the stride-3 class brings it
+# back to ~8.2).
 PRESCALE_RQ = 64     # output rows per row-chunk
 PRESCALE_CQ = 128    # output columns per column-chunk
-PRESCALE_RW = 256    # source rows read per row-chunk (2*63+1+7, padded to
-                     # a 128-multiple contraction dim for the int8 MXU)
-PRESCALE_CWW = 384   # source cols read per col-chunk (2*127+1+127 -> 128-mult)
-PRESCALE_SMAX = 2    # max integer stride the kernel's windows cover
+PRESCALE_SMAX = 2    # stride bound of the round-3 original class
+PRESCALE_SMAXES = (1, 2, 3)  # the compiled crop classes, tightest first
+
+
+def _prescale_rw(smax: int) -> int:
+    """Source rows read per row-chunk: smax*(RQ-1)+1 span + 7 sublane
+    alignment, padded to a 128-multiple MXU contraction dim (128 at
+    stride 1, 256 at strides 2-3)."""
+    return -(-(smax * (PRESCALE_RQ - 1) + 1 + 7) // 128) * 128
+
+
+def _prescale_cww(smax: int) -> int:
+    """Source cols read per col-chunk: smax*(CQ-1)+1 span + 127 lane
+    alignment, padded to a 128-multiple MXU contraction dim (256 / 384 /
+    512 at strides 1 / 2 / 3)."""
+    return -(-(smax * (PRESCALE_CQ - 1) + 1 + 127) // 128) * 128
 
 
 def _rha(x):
@@ -148,7 +172,8 @@ def _prescale_take_u32(image_u32, rrect, M: int):
 
 
 def _prescale_pallas_kernel(
-    coef_ref, frame_ref, out_ref, crop, rs, sem, *, M, CH, CW, H, W, S
+    coef_ref, frame_ref, out_ref, crop, rs, sem,
+    *, M, CH, CW, RW, CWW, H, W, S,
 ):
     """Per-view prescale: one bbox-covering crop DMA + blocked one-hot
     row/column int8 MXU selections (replaces the XLA gather lowering of
@@ -156,7 +181,7 @@ def _prescale_pallas_kernel(
 
     Grid: ``(N,)``. coefs (SMEM i32 [N, 6]): ystart, xstart (crop window
     origin, 8/128-aligned), ly_eff, lx_eff (first sample index:
-    ``L + (s-1)//2``), sy, sx (integer strides, <= PRESCALE_SMAX).
+    ``L + (s-1)//2``), sy, sx (integer strides, <= the class's smax).
     """
     v = pl.program_id(0)
     b = v // S
@@ -181,8 +206,6 @@ def _prescale_pallas_kernel(
 
     n_rc = M // PRESCALE_RQ
     n_cc = M // PRESCALE_CQ
-    RW = PRESCALE_RW
-    CWW = PRESCALE_CWW
 
     iota_rw = lax.broadcasted_iota(jnp.int32, (PRESCALE_RQ, RW), 1)
     iota_q = lax.broadcasted_iota(jnp.int32, (PRESCALE_RQ, RW), 0)
@@ -251,13 +274,13 @@ def _prescale_pallas_kernel(
             ] = out32.astype(jnp.uint32)
 
 
-def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
+def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax):
     """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
     -> ``[N, M, M] u32`` intermediates. Only called on batches whose
-    every view passes `_prescale_coverage_ok`."""
+    every view passes `_prescale_coverage_ok` for this crop class."""
     B, H, W = image_u32.shape
     N = rrect_flat.shape[0]
-    CH, CW = _crop_shape(H, W, M)
+    CH, CW = _crop_shape(H, W, M, smax)
 
     def coefs_one(rr):
         left, top, sx, sy, bw, bh = _prescale_geometry(rr, M)
@@ -290,7 +313,8 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
     coefs = jax.vmap(coefs_one)(rrect_flat)  # [N, 6] i32
 
     kern = functools.partial(
-        _prescale_pallas_kernel, M=M, CH=CH, CW=CW, H=H, W=W, S=S
+        _prescale_pallas_kernel, M=M, CH=CH, CW=CW,
+        RW=_prescale_rw(smax), CWW=_prescale_cww(smax), H=H, W=W, S=S,
     )
     return pl.pallas_call(
         kern,
@@ -312,25 +336,28 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret):
     )(coefs, image_u32)
 
 
-def _crop_shape(H: int, W: int, M: int = PRESCALE_M):
-    """Static crop-window shape for the Pallas prescale, fitted to the
-    frame AND the intermediate size: the kernel handles strides <= 2, so
-    the largest admissible bbox is ~2M — a smaller M needs a
-    proportionally smaller crop (a hand-path M=256 view otherwise DMAs a
-    5.3 MB M=512-sized window for a <=514 px bbox). Rows cover
-    2M + back-off/rounding slack + 8-sublane alignment; columns the same
-    + 128-lane alignment; both clipped to what the frame can supply."""
-    CH = min(-(-(2 * M + 48) // 8) * 8, (H // 8) * 8)
-    CW = min(-(-(2 * M + 168) // 128) * 128, (W // 128) * 128)
+def _crop_shape(H: int, W: int, M: int = PRESCALE_M, smax: int = PRESCALE_SMAX):
+    """Static crop-window shape for one Pallas-prescale crop class: the
+    class handles strides <= smax, so the largest admissible bbox is
+    ~smax*M — a smaller M needs a proportionally smaller crop (a
+    hand-path M=256 view otherwise DMAs a 5.3 MB M=512-sized window for
+    a <=514 px bbox). Rows cover smax*M + back-off/rounding slack +
+    8-sublane alignment; columns the same + 128-lane alignment; both
+    clipped to what the frame can supply (a class whose span exceeds a
+    frame dimension covers that whole dimension — every in-frame index
+    is then reachable and the bbox bound on that axis is moot, see
+    `_prescale_coverage_ok`)."""
+    CH = min(-(-(smax * M + 48) // 8) * 8, (H // 8) * 8)
+    CW = min(-(-(smax * M + 168) // 128) * 128, (W // 128) * 128)
     return CH, CW
 
 
-def _prescale_coverage_ok(rrect_flat, M, H, W):
-    """Batch-scalar predicate: every view's crop window covers all its
-    in-frame sample indices AND its strides fit the kernel's static
-    chunk windows (<= PRESCALE_SMAX)."""
-    CH, CW = _crop_shape(H, W, M)
-    if CH < PRESCALE_RW or CW < PRESCALE_CWW:
+def _prescale_coverage_ok(rrect_flat, M, H, W, smax=PRESCALE_SMAX):
+    """Batch-scalar predicate: every view's crop window (of the ``smax``
+    crop class) covers all its in-frame sample indices AND its strides
+    fit the class's static chunk windows (<= smax)."""
+    CH, CW = _crop_shape(H, W, M, smax)
+    if CH < _prescale_rw(smax) or CW < _prescale_cww(smax):
         return jnp.asarray(False)
 
     xlim = ((W - CW) // 128) * 128 + CW  # cols the clamped window can reach
@@ -338,14 +365,17 @@ def _prescale_coverage_ok(rrect_flat, M, H, W):
 
     def one(rr):
         _l, _t, sx, sy, bw, bh = _prescale_geometry(rr, M)
-        ok = (
-            (sx <= PRESCALE_SMAX)
-            & (sy <= PRESCALE_SMAX)
-            # bbox + window alignment loss (127/7) + 16-px back-off +
-            # matching high-edge rounding slack fits the static crop.
-            & (bw <= np.float32(CW - 160))
-            & (bh <= np.float32(CH - 40))
-        )
+        ok = (sx <= smax) & (sy <= smax)
+        # bbox + window alignment loss (127/7) + 16-px back-off +
+        # matching high-edge rounding slack fits the static crop. When
+        # the crop already spans the WHOLE frame dimension (CW == W /
+        # CH == H), the window origin clamps to 0 and every in-frame
+        # index on that axis is reachable — no bbox bound needed (the
+        # per-chunk RW/CWW windows track their chunk regardless).
+        if CW < W:
+            ok &= bw <= np.float32(CW - 160)
+        if CH < H:
+            ok &= bh <= np.float32(CH - 40)
         # Odd-sized frames leave up to 127/7 IN-FRAME edge pixels beyond
         # the aligned clamp limit uncoverable — reject views touching
         # them. (xlim == W / ylim == H for aligned frames: no condition.)
@@ -681,9 +711,10 @@ def rotated_sample_fast(
       identical for square views; non-square views may read black.
     - ``pallas_prescale``: build the intermediate with the crop-resident
       Pallas kernel when a batch-scalar coverage predicate holds (all
-      strides <= 2, bboxes within the static crop window), falling back
-      to the XLA take path per batch otherwise. Both paths produce
-      index-identical intermediates; the knob exists for A/B timing.
+      strides <= 3, bboxes within one of the static crop classes —
+      tight stride-2 preferred), falling back to the XLA take path per
+      batch otherwise. All paths produce index-identical intermediates;
+      the knob exists for A/B timing.
     - ``xroll``: in the RESIDENT banded mode, extract each block's
       x-window with a 128-aligned pre-slice + one dynamic lane roll
       (exactly the rolled mode's extraction) instead of a 128-aligned
@@ -876,17 +907,36 @@ def rotated_sample_fast(
         )(img32, rrf)
         return pl_.reshape(N, M, M)
 
-    def pallas_path(ops):
-        img32, rrf = ops
-        return _prescale_pallas(img32, rrf.reshape(N, 5), M, S, interpret)
+    def pallas_path_for(smax):
+        def path(ops):
+            img32, rrf = ops
+            return _prescale_pallas(
+                img32, rrf.reshape(N, 5), M, S, interpret, smax
+            )
 
-    # The Pallas branch is only *traceable* when the frame can supply its
-    # static chunk windows — smaller frames (tiny test images) take the
-    # XLA path unconditionally (lax.cond traces both branches).
-    _ch, _cw = _crop_shape(H, W, M)
-    if pallas_prescale and _ch >= PRESCALE_RW and _cw >= PRESCALE_CWW:
-        ok = _prescale_coverage_ok(rrect_flat.reshape(N, 5), M, H, W)
-        planar = lax.cond(ok, pallas_path, take_path, (image_u32, rrect_flat))
+        return path
+
+    # Nested batch-scalar conds over the crop classes, tight (stride-2)
+    # first: the first class whose predicate admits the whole batch runs
+    # its Pallas kernel; the exact XLA take path remains the final
+    # fallback. A class is only *traceable* when the frame can supply
+    # its static chunk windows — smaller frames (tiny test images) fall
+    # through (lax.cond traces every branch of the chain).
+    if pallas_prescale:
+        chain = take_path
+        for smax_c in reversed(PRESCALE_SMAXES):
+            _ch, _cw = _crop_shape(H, W, M, smax_c)
+            if _ch < _prescale_rw(smax_c) or _cw < _prescale_cww(smax_c):
+                continue
+            ok = _prescale_coverage_ok(
+                rrect_flat.reshape(N, 5), M, H, W, smax_c
+            )
+            chain = (
+                lambda ok, path, prev: (
+                    lambda ops: lax.cond(ok, path, prev, ops)
+                )
+            )(ok, pallas_path_for(smax_c), chain)
+        planar = chain((image_u32, rrect_flat))
     else:
         planar = take_path((image_u32, rrect_flat))
 
