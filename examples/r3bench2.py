@@ -143,7 +143,7 @@ def main():
         def run_pallas(fr32, rr):
             def body(c, _):
                 pl_ = _prescale_pallas(
-                    fr32, rr + c * 1e-6, PRESCALE_M, 1, False
+                    fr32, rr + c * 1e-6, PRESCALE_M, 1, False, 2
                 )
                 return c + 1.0, pl_[:, 0, 0]
 

@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Prescale crop-DMA double-buffering A/B (round 3).
+
+The Pallas prescale kernel serialized its per-view crop DMA with the
+selection matmuls (cp.start(); cp.wait()); the double-buffered variant
+prefetches view v+1's crop during view v's compute. At batch 128 /
+stride 2 the serialized DMA is ~0.9 ms/step (128 x 5.5 MB at HBM bw),
+so the win should be most of that. This batch measures, on device:
+
+- parity: auto-dbuf == take path bit-exact per stride class (the
+  kernel body changed; ADVICE r2 #4's device-pinning rule applies);
+- stages: prescale-only isolation, dbuf 0 vs 1 (face stride-2 shape);
+- sampler: full face-default sampler (banded xroll), dbuf 0 vs 1, at
+  stride 2 (836 px upright) and stride 1 (360 px). dbuf is a STATIC
+  kwarg (prescale_dbuf) — an env knob read inside the traced function
+  was invisible to jit's cache and made the first A/B's sampler arms
+  measure the same program twice.
+
+Usage: python examples/r3bench6.py [out.jsonl] [which ...]
+  which ∈ {parity, stages, sampler} (default: all)
+
+Timing honesty: every window forces a device→host readback (np.asarray);
+jax.block_until_ready does NOT block through this tunnel (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r3bench6.jsonl"
+WHICH = set(sys.argv[2:]) or {"parity", "stages", "sampler"}
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(rec):
+    rec = dict(rec, t=round(time.time()))
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    log("RESULT", json.dumps(rec))
+
+
+def readback(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def make_frame():
+    import cv2
+
+    from zaru_tpu.assets import fixture_path
+    from zaru_tpu.image import decode as idec
+
+    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
+    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
+    return np.concatenate(
+        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
+    )
+
+
+def timed_windows(fn, *args, n=4, label=""):
+    t0 = time.perf_counter()
+    readback(fn(*args))
+    log(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        readback(fn(*args))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"[{label}] window {dt * 1e3:.1f} ms")
+    return best
+
+
+B = 128
+STEPS = 16
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"on {dev.platform} ({dev.device_kind})")
+    frame = make_frame()
+    frame_dev = jax.device_put(jnp.asarray(frame))
+    frames = jax.jit(
+        lambda f: jnp.broadcast_to(f[None], (B, *f.shape)) + 0
+    )(frame_dev)
+    readback(frames)
+
+    def rects(theta, size=836.0):
+        rr = np.zeros((B, 5), np.float32)
+        rr[:] = [1038.0, 595.0, size, size, theta]
+        return jnp.asarray(rr)
+
+    from zaru_tpu.ops.rotated_fast import rotated_sample_fast
+
+    if "parity" in WHICH:
+        img = np.asarray(frame[None])
+        cfg = dict(
+            out_w=192, out_h=192, lo=0.0, hi=255.0,
+            band_p=192, rows_per_block=64, win_x=128, xroll=True,
+        )
+        for size, theta, cls in (
+            (420.0, 0.3, 1), (700.0, 0.9, 2), (836.0, 1.0, 3),
+        ):
+            rr = jnp.asarray(
+                np.asarray([[960, 540, size, size, theta]], np.float32)
+            )
+            via_pallas = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **cfg, pallas_prescale=True
+                )
+            )
+            via_take = np.asarray(
+                rotated_sample_fast(
+                    jnp.asarray(img), rr, **cfg, pallas_prescale=False
+                )
+            )
+            emit({
+                "check": "device_parity_dbuf", "smax": cls,
+                "size": size, "theta": theta,
+                "pallas_eq_take": bool((via_pallas == via_take).all()),
+                "max_abs_diff": float(np.abs(via_pallas - via_take).max()),
+            })
+
+    if "stages" in WHICH:
+        from zaru_tpu.ops.rotated_fast import PRESCALE_M, _prescale_pallas
+
+        img32 = jax.jit(
+            lambda f: lax.bitcast_convert_type(f, jnp.uint32)
+        )(frames)
+        readback(img32)
+
+        def make_prescale(dbuf):
+            @jax.jit
+            def run_pallas(fr32, rr):
+                def body(c, _):
+                    pl_ = _prescale_pallas(
+                        fr32, rr + c * 1e-6, PRESCALE_M, 1, False, 2, dbuf
+                    )
+                    return c + 1.0, pl_[:, 0, 0]
+
+                _, outs = lax.scan(body, 0.0, None, length=STEPS)
+                return outs
+
+            return run_pallas
+
+        for dbuf in (False, True):
+            dt = timed_windows(
+                make_prescale(dbuf), img32, rects(0.12),
+                label=f"prescale-dbuf{int(dbuf)}",
+            )
+            emit({"bench": "prescale_only", "dbuf": dbuf,
+                  "ms_per_step": round(dt / STEPS * 1e3, 2)})
+
+    if "sampler" in WHICH:
+        def make_sampler(dbuf):
+            @jax.jit
+            def run(fr, rr):
+                def body(c, _):
+                    out = rotated_sample_fast(
+                        fr, rr + c * 1e-6, 192, 192, 0.0, 1.0,
+                        pallas_prescale=True, prescale_dbuf=dbuf,
+                        band_p=192, rows_per_block=64, win_x=128,
+                        xroll=True,
+                    )
+                    return c + 1.0, out[:, 0, 0, 0]
+
+                _, outs = lax.scan(body, 0.0, None, length=STEPS)
+                return outs
+
+            return run
+
+        for size, lbl in ((836.0, "836px s2"), (360.0, "360px s1")):
+            for dbuf in (False, True):
+                dt = timed_windows(
+                    make_sampler(dbuf), frames, rects(0.12, size),
+                    label=f"sampler {lbl} dbuf{int(dbuf)}",
+                )
+                emit({"bench": "sampler_dbuf", "config": lbl,
+                      "dbuf": dbuf,
+                      "ms_per_step": round(dt / STEPS * 1e3, 2),
+                      "fps": round(B * STEPS / dt)})
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,34 @@ def test_pallas_prescale_bit_identical(case):
     np.testing.assert_array_equal(via_pallas, via_take)
 
 
+@pytest.mark.parametrize("dbuf", [False, True])
+def test_pallas_prescale_dbuf_forced(dbuf):
+    """Both crop-DMA buffering modes (single / double) must be
+    bit-identical to the take path — the prescale_dbuf knob only
+    changes WHEN the crop lands in VMEM, never what is read. Uses a
+    multi-view batch so the double buffer's cross-grid-step prefetch
+    (view v+1's DMA issued during view v) actually alternates slots."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray(
+        [PALLAS_PRESCALE_CASES[0], PALLAS_PRESCALE_CASES[1],
+         PALLAS_PRESCALE_CASES[2]],
+        np.float32,
+    )
+    args = (jnp.asarray(img[None]), jnp.asarray(rrect[None]), 192, 192,
+            0.0, 255.0)
+    via_pallas = np.asarray(
+        rotated_sample_fast(
+            *args, interpret=True, pallas_prescale=True,
+            prescale_dbuf=dbuf,
+        )
+    )
+    via_take = np.asarray(
+        rotated_sample_fast(*args, interpret=True, pallas_prescale=False)
+    )
+    np.testing.assert_array_equal(via_pallas, via_take)
+
+
 def test_pallas_prescale_stride3_class():
     """The rotation-inflated serving regime (836 px square view at
     theta=1.0 -> 1157 px bbox, stride 3): rejected by the tight stride-2

@@ -173,7 +173,7 @@ def _prescale_take_u32(image_u32, rrect, M: int):
 
 def _prescale_pallas_kernel(
     coef_ref, frame_ref, out_ref, crop, rs, sem,
-    *, M, CH, CW, RW, CWW, H, W, S,
+    *, M, CH, CW, RW, CWW, H, W, S, dbuf,
 ):
     """Per-view prescale: one bbox-covering crop DMA + blocked one-hot
     row/column int8 MXU selections (replaces the XLA gather lowering of
@@ -182,27 +182,54 @@ def _prescale_pallas_kernel(
     Grid: ``(N,)``. coefs (SMEM i32 [N, 6]): ystart, xstart (crop window
     origin, 8/128-aligned), ly_eff, lx_eff (first sample index:
     ``L + (s-1)//2``), sy, sx (integer strides, <= the class's smax).
+
+    ``dbuf``: the crop scratch is ``[2, CH, CW]`` and view v+1's crop
+    DMA is issued before view v's compute (classic double buffering:
+    the ~0.9 ms of serial crop DMA at batch 128 / stride 2 hides under
+    the selection matmuls). Off for crops too large to fit twice in
+    VMEM (the stride-3 class).
     """
     v = pl.program_id(0)
-    b = v // S
 
-    # The crop origin is pre-aligned by the caller (8-sublane / 128-lane
-    # grids); multiple_of carries the proof to Mosaic's slice checker.
-    ystart = pl.multiple_of(coef_ref[v, 0], 8)
-    xstart = pl.multiple_of(coef_ref[v, 1], 128)
+    def dma_for(view, slot):
+        """Crop DMA for ``view`` into buffer ``slot``. The crop origin
+        is pre-aligned by the caller (8-sublane / 128-lane grids);
+        multiple_of carries the proof to Mosaic's slice checker. The
+        window covers every in-frame source index the view can select
+        (the caller's coverage predicate guarantees it; uncovered views
+        take the XLA fallback branch)."""
+        ys = pl.multiple_of(coef_ref[view, 0], 8)
+        xs = pl.multiple_of(coef_ref[view, 1], 128)
+        return pltpu.make_async_copy(
+            frame_ref.at[view // S, pl.ds(ys, CH), pl.ds(xs, CW)],
+            crop.at[slot],
+            sem.at[slot],
+        )
+
     ly = coef_ref[v, 2]
     lx = coef_ref[v, 3]
     sy = coef_ref[v, 4]
     sx = coef_ref[v, 5]
+    ystart = pl.multiple_of(coef_ref[v, 0], 8)
+    xstart = pl.multiple_of(coef_ref[v, 1], 128)
 
-    # One DMA per view: the crop window covers every in-frame source
-    # index the view can select (the caller's coverage predicate
-    # guarantees it; uncovered views take the XLA fallback branch).
-    cp = pltpu.make_async_copy(
-        frame_ref.at[b, pl.ds(ystart, CH), pl.ds(xstart, CW)], crop, sem
-    )
-    cp.start()
-    cp.wait()
+    if dbuf:
+        cur = lax.rem(v, 2)
+
+        @pl.when(v == 0)
+        def _():
+            dma_for(0, 0).start()
+
+        @pl.when(v + 1 < pl.num_programs(0))
+        def _():
+            dma_for(v + 1, lax.rem(v + 1, 2)).start()
+
+        dma_for(v, cur).wait()
+    else:
+        cur = 0
+        cp = dma_for(v, 0)
+        cp.start()
+        cp.wait()
 
     n_rc = M // PRESCALE_RQ
     n_cc = M // PRESCALE_CQ
@@ -219,7 +246,7 @@ def _prescale_pallas_kernel(
         y_first = ly + sy * (rc * PRESCALE_RQ)
         rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
         rw0 = pl.multiple_of(rw0, 8)
-        win = crop[pl.ds(rw0, RW), :]  # [RW, CW] u32
+        win = crop[cur, pl.ds(rw0, RW), :]  # [RW, CW] u32
 
         # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
         # sources (OOB rows contribute 0 — the take path's fill).
@@ -274,7 +301,8 @@ def _prescale_pallas_kernel(
             ] = out32.astype(jnp.uint32)
 
 
-def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax):
+def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
+                     dbuf=None):
     """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
     -> ``[N, M, M] u32`` intermediates. Only called on batches whose
     every view passes `_prescale_coverage_ok` for this crop class."""
@@ -312,9 +340,35 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax):
 
     coefs = jax.vmap(coefs_one)(rrect_flat)  # [N, 6] i32
 
+    # Double-buffer the crop DMA (prefetch view v+1 during view v's
+    # selection matmuls). Measured on device (examples/r3bench6.py):
+    # prescale isolation 3.99 -> 2.95 ms/step at batch 128 / stride 2 —
+    # most of the ~1 ms serial crop-DMA hidden. Two 7.7 MB stride-3
+    # crops + the pipelined [M, M] u32 output blocks exceed the
+    # compiler's DEFAULT 16 MB scoped-vmem budget (observed demand
+    # 17.09 MB at stride 2), so the call raises vmem_limit_bytes to the
+    # computed demand + temporaries margin — v5e's physical VMEM
+    # (128 MB) has ample headroom; the scoped default is a compiler
+    # knob, not the hardware.
+    # ``dbuf`` must flow from a STATIC caller argument when forced: an
+    # env var read here is invisible to jit's trace cache (a second
+    # trace with the same shapes+statics silently reuses the first).
+    if dbuf is None:
+        dbuf = True
+    nbuf = 2 if dbuf else 1
+    # Crops + double-buffered output blocks + row-select scratch, plus
+    # ~6 MB for Mosaic temporaries (win casts, one-hot masks, iotas —
+    # the observed stride-2 dbuf demand was ~4.3 MB above the buffer
+    # sum) and headroom.
+    vmem_demand = (
+        nbuf * CH * CW * 4 + 2 * M * M * 4 + 3 * PRESCALE_RQ * CW
+    )
+    vmem_limit = min(vmem_demand + 8 * 2**20, 100 * 2**20)
+
     kern = functools.partial(
         _prescale_pallas_kernel, M=M, CH=CH, CW=CW,
         RW=_prescale_rw(smax), CWW=_prescale_cww(smax), H=H, W=W, S=S,
+        dbuf=dbuf,
     )
     return pl.pallas_call(
         kern,
@@ -328,10 +382,16 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax):
         ),
         out_shape=jax.ShapeDtypeStruct((N, M, M), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((CH, CW), jnp.uint32),
+            pltpu.VMEM((nbuf, CH, CW), jnp.uint32),
             pltpu.VMEM((3 * PRESCALE_RQ, CW), jnp.int8),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
+        # The double-buffer carries DMA state across grid steps: the
+        # grid must run sequentially on one core (no megacore split).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
+        ),
         interpret=interpret,
     )(coefs, image_u32)
 
@@ -648,7 +708,7 @@ def _rotate_kernel(
     static_argnames=(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
-        "pallas_prescale", "fuse3", "resident", "xroll",
+        "pallas_prescale", "fuse3", "resident", "xroll", "prescale_dbuf",
     ),
 )
 def rotated_sample_fast(
@@ -671,6 +731,7 @@ def rotated_sample_fast(
     fuse3: bool | None = None,
     resident: bool | None = None,
     xroll: bool | None = None,
+    prescale_dbuf: bool | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -729,6 +790,14 @@ def rotated_sample_fast(
       9.8 -> 8.7 ms/step at the face shape, bit-identical
       (examples/r3bench5.py). Full-band configs (``band_p ==
       prescale_m``) keep the rolled mode instead.
+    - ``prescale_dbuf``: double-buffer the Pallas prescale's per-view
+      crop DMA (prefetch view v+1's crop during view v's selection
+      matmuls). Default (None): ON — the kernel raises its scoped-vmem
+      limit to cover two crops of every class (max ~24 MB at stride 3,
+      well under v5e's 128 MB physical VMEM). Bit-identical either way;
+      the knob exists for A/B timing — prescale isolation measured
+      3.99 -> 2.95 ms/step at batch 128 / stride 2
+      (examples/r3bench6.py).
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -911,7 +980,8 @@ def rotated_sample_fast(
         def path(ops):
             img32, rrf = ops
             return _prescale_pallas(
-                img32, rrf.reshape(N, 5), M, S, interpret, smax
+                img32, rrf.reshape(N, 5), M, S, interpret, smax,
+                prescale_dbuf,
             )
 
         return path
