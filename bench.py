@@ -73,11 +73,12 @@ DETECT_EVERY = 9
 def quiet_fps(batch: int) -> float:
     # batch 8 is dominated by batch-independent per-step cost. Headline
     # batch: after the round-3 sampler rework (Pallas crop-resident
-    # prescale + banded windows + the x-roll extraction, which cut the
-    # face sampler to ~8 ms/step — examples/r3bench5.py) the production
-    # cadence runs ~7.5k quiet — early-exit just under it so contended
-    # windows keep retrying without discarding healthy runs.
-    return 7400.0 if batch >= 64 else 1000.0
+    # prescale with stride-1/2/3 crop classes + double-buffered crop
+    # DMA + banded x-roll windows, which cut the face sampler to
+    # ~6.5 ms/step — examples/r3bench6.py) the production cadence runs
+    # ~9.6k quiet — early-exit just under it so contended windows keep
+    # retrying without discarding healthy runs.
+    return 9200.0 if batch >= 64 else 1050.0
 
 
 def log(*a):
