@@ -1,10 +1,14 @@
 """Shared helpers for the examples: frame sources that fall back from
-webcam to a static image / fixture so every example also runs headless."""
+webcam to a static image / fixture so every example also runs headless,
+plus the bench-protocol helpers (fixture 1080p frame, readback-honest
+window timing, JSONL emit) shared by the measurement scripts."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -43,3 +47,61 @@ def frame_source(argv=None, loop_static: int = 30):
         img = Image.load(fixture_path("sad_linus.jpg"))
         for _ in range(loop_static):
             yield img
+
+
+# --- bench-protocol helpers (r3bench*, irisbench) ------------------------
+
+
+def bench_log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_emit(out_path):
+    """JSONL appender: results stream to the file AND stderr so a wedged
+    run still leaves data."""
+
+    def emit(rec):
+        rec = dict(rec, t=round(time.time()))
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        bench_log("RESULT", json.dumps(rec))
+
+    return emit
+
+
+def make_bench_frame():
+    """The bench fixture: sad_linus upscaled to 1080p RGBA u8."""
+    import cv2
+    import numpy as np
+
+    from zaru_tpu.image import decode as idec
+
+    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
+    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
+    return np.concatenate(
+        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
+    )
+
+
+def timed_windows(fn, *args, n=4, label=""):
+    """Best-of-n scan-window seconds with a REAL device→host readback
+    per window (jax.block_until_ready does not block through the axon
+    tunnel — CLAUDE.md)."""
+    import numpy as np
+
+    import jax
+
+    def readback(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+    t0 = time.perf_counter()
+    readback(fn(*args))
+    bench_log(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        readback(fn(*args))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        bench_log(f"[{label}] window {dt * 1e3:.1f} ms")
+    return best

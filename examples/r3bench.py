@@ -150,10 +150,12 @@ def main():
                 "pp_max_abs_diff": float(np.abs(pp - rolled).max()),
                 "xroll_max_abs_diff": float(np.abs(xr - pp).max()),
             })
-        # Crop-class parity on device: the 420-px case above runs the
-        # stride-1 class; pin the stride-2 (700 px tilted) and stride-3
-        # (836 px at theta=1.0 — the round-3 tilt-cliff view) classes
-        # against the take path on the face serving config too.
+        # Crop-class parity on device: the 420-px cases above run the
+        # stride-2 class (bbox inflates by cos+sin: 525-595 px > 512 at
+        # those angles — r3bench6.py pins stride 1 with a 400-px view);
+        # pin the stride-2 (700 px tilted) and stride-3 (836 px at
+        # theta=1.0 — the round-3 tilt-cliff view) classes against the
+        # take path on the face serving config too.
         for size, theta, cls in ((700.0, 0.9, 2), (836.0, 1.0, 3)):
             rr = jnp.asarray(
                 np.asarray([[960, 540, size, size, theta]], np.float32)

@@ -8,7 +8,10 @@ stride 2 the serialized DMA is ~0.9 ms/step (128 x 5.5 MB at HBM bw),
 so the win should be most of that. This batch measures, on device:
 
 - parity: auto-dbuf == take path bit-exact per stride class (the
-  kernel body changed; ADVICE r2 #4's device-pinning rule applies);
+  kernel body changed; ADVICE r2 #4's device-pinning rule applies).
+  The stride-1 case must have bbox <= 512: a 420 px view at theta=0.3
+  inflates to a 527 px bbox = stride 2 (the first run of this script
+  mislabeled exactly that), so 400 px (bbox ~502) is used;
 - stages: prescale-only isolation, dbuf 0 vs 1 (face stride-2 shape);
 - sampler: full face-default sampler (banded xroll), dbuf 0 vs 1, at
   stride 2 (836 px upright) and stride 1 (360 px). dbuf is a STATIC
@@ -25,13 +28,13 @@ jax.block_until_ready does NOT block through this tunnel (CLAUDE.md).
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+# _common honors JAX_PLATFORMS=cpu (the axon sitecustomize ignores the
+# env var alone) and puts the repo root on sys.path.
+from _common import bench_log as log  # noqa: F401
+from _common import make_bench_frame, make_emit, timed_windows
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r3bench6.jsonl"
 WHICH = set(sys.argv[2:]) or {"parity", "stages", "sampler"}
@@ -42,52 +45,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def emit(rec):
-    rec = dict(rec, t=round(time.time()))
-    with open(OUT, "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    log("RESULT", json.dumps(rec))
-
-
-def readback(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0])
-
-
-def make_frame():
-    import cv2
-
-    from zaru_tpu.assets import fixture_path
-    from zaru_tpu.image import decode as idec
-
-    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
-    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
-    return np.concatenate(
-        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
-    )
-
-
-def timed_windows(fn, *args, n=4, label=""):
-    t0 = time.perf_counter()
-    readback(fn(*args))
-    log(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s")
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        readback(fn(*args))
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        log(f"[{label}] window {dt * 1e3:.1f} ms")
-    return best
-
+emit = make_emit(OUT)
 
 B = 128
 STEPS = 16
@@ -96,12 +59,12 @@ STEPS = 16
 def main():
     dev = jax.devices()[0]
     log(f"on {dev.platform} ({dev.device_kind})")
-    frame = make_frame()
+    frame = make_bench_frame()
     frame_dev = jax.device_put(jnp.asarray(frame))
     frames = jax.jit(
         lambda f: jnp.broadcast_to(f[None], (B, *f.shape)) + 0
     )(frame_dev)
-    readback(frames)
+    np.asarray(frames[0, 0, 0])
 
     def rects(theta, size=836.0):
         rr = np.zeros((B, 5), np.float32)
@@ -111,16 +74,29 @@ def main():
     from zaru_tpu.ops.rotated_fast import rotated_sample_fast
 
     if "parity" in WHICH:
+        from zaru_tpu.ops.rotated_fast import (
+            PRESCALE_M, _prescale_coverage_ok,
+        )
+
         img = np.asarray(frame[None])
         cfg = dict(
             out_w=192, out_h=192, lo=0.0, hi=255.0,
             band_p=192, rows_per_block=64, win_x=128, xroll=True,
         )
         for size, theta, cls in (
-            (420.0, 0.3, 1), (700.0, 0.9, 2), (836.0, 1.0, 3),
+            (400.0, 0.3, 1), (700.0, 0.9, 2), (836.0, 1.0, 3),
         ):
             rr = jnp.asarray(
                 np.asarray([[960, 540, size, size, theta]], np.float32)
+            )
+            # Guard against the class-misattribution bug this section
+            # once had: the case must be admitted by ITS class and
+            # rejected by the tighter one, or the record lies.
+            admitted = bool(
+                _prescale_coverage_ok(rr, PRESCALE_M, 1080, 1920, cls)
+            )
+            tighter = cls > 1 and bool(
+                _prescale_coverage_ok(rr, PRESCALE_M, 1080, 1920, cls - 1)
             )
             via_pallas = np.asarray(
                 rotated_sample_fast(
@@ -135,6 +111,7 @@ def main():
             emit({
                 "check": "device_parity_dbuf", "smax": cls,
                 "size": size, "theta": theta,
+                "class_admits": admitted, "tighter_admits": tighter,
                 "pallas_eq_take": bool((via_pallas == via_take).all()),
                 "max_abs_diff": float(np.abs(via_pallas - via_take).max()),
             })
@@ -145,7 +122,7 @@ def main():
         img32 = jax.jit(
             lambda f: lax.bitcast_convert_type(f, jnp.uint32)
         )(frames)
-        readback(img32)
+        np.asarray(img32[0, 0])
 
         def make_prescale(dbuf):
             @jax.jit

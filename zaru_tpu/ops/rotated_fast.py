@@ -183,11 +183,12 @@ def _prescale_pallas_kernel(
     origin, 8/128-aligned), ly_eff, lx_eff (first sample index:
     ``L + (s-1)//2``), sy, sx (integer strides, <= the class's smax).
 
-    ``dbuf``: the crop scratch is ``[2, CH, CW]`` and view v+1's crop
-    DMA is issued before view v's compute (classic double buffering:
-    the ~0.9 ms of serial crop DMA at batch 128 / stride 2 hides under
-    the selection matmuls). Off for crops too large to fit twice in
-    VMEM (the stride-3 class).
+    ``dbuf``: the crop scratch is ``[2, CH, CW]`` (``[1, CH, CW]`` when
+    off) and view v+1's crop DMA is issued before view v's compute
+    (classic double buffering: the ~0.9 ms of serial crop DMA at batch
+    128 / stride 2 hides under the selection matmuls). Default ON for
+    every class — the caller raises the scoped-vmem limit to fit two
+    crops; the flag remains as the A/B knob.
     """
     v = pl.program_id(0)
 
@@ -772,9 +773,9 @@ def rotated_sample_fast(
       identical for square views; non-square views may read black.
     - ``pallas_prescale``: build the intermediate with the crop-resident
       Pallas kernel when a batch-scalar coverage predicate holds (all
-      strides <= 3, bboxes within one of the static crop classes —
-      tight stride-2 preferred), falling back to the XLA take path per
-      batch otherwise. All paths produce index-identical intermediates;
+      strides <= 3, bboxes within one of the static crop classes — the
+      tightest admissible class runs, stride-1 first), falling back to
+      the XLA take path per batch otherwise. All paths produce index-identical intermediates;
       the knob exists for A/B timing.
     - ``xroll``: in the RESIDENT banded mode, extract each block's
       x-window with a 128-aligned pre-slice + one dynamic lane roll
@@ -986,10 +987,10 @@ def rotated_sample_fast(
 
         return path
 
-    # Nested batch-scalar conds over the crop classes, tight (stride-2)
-    # first: the first class whose predicate admits the whole batch runs
-    # its Pallas kernel; the exact XLA take path remains the final
-    # fallback. A class is only *traceable* when the frame can supply
+    # Nested batch-scalar conds over the crop classes, tightest
+    # (stride-1) first: the first class whose predicate admits the whole
+    # batch runs its Pallas kernel; the exact XLA take path remains the
+    # final fallback. A class is only *traceable* when the frame can supply
     # its static chunk windows — smaller frames (tiny test images) fall
     # through (lax.cond traces every branch of the chain).
     if pallas_prescale:
