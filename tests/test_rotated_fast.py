@@ -225,6 +225,48 @@ def test_pallas_prescale_bit_identical(case):
     np.testing.assert_array_equal(via_pallas, via_take)
 
 
+@pytest.mark.parametrize(
+    "size,theta,expected_smax",
+    [
+        # Serving regimes on a 1080p frame, M=512. bbox inflates by
+        # (cos+sin) under rotation; the tightest admitting class should
+        # hold these assignments — a change here means views silently
+        # moved to a bigger crop DMA or the take fallback (the round-3
+        # tilt cliff: 8.4 -> 12.9 ms/step, caught only by timing).
+        (400.0, 0.3, 1),    # bbox ~502 <= 512
+        (420.0, 0.3, 2),    # bbox ~527 — NOT stride 1 (r3bench6 bug)
+        (836.0, 0.12, 2),   # the bench face view, upright-ish
+        (700.0, 0.9, 2),    # bbox ~985
+        (836.0, 1.0, 3),    # bbox ~1157 — the tilt-cliff view
+        (1200.0, 0.78, 4),  # bbox ~1692 > stride-3 coverage: take path
+    ],
+)
+def test_prescale_class_assignment(size, theta, expected_smax):
+    """Pin the tightest admitting crop class for representative views —
+    the classes are performance lanes (crop DMA 0.6 / 5.5 / 7.7 MB), so
+    a silent reassignment is a regression even though every lane is
+    bit-exact."""
+    from zaru_tpu.ops.rotated_fast import (
+        PRESCALE_SMAXES, _prescale_coverage_ok,
+    )
+
+    H, W = 1080, 1920
+    rr = jnp.asarray([[960.0, 540.0, size, size, theta]], jnp.float32)
+    admitting = [
+        s for s in PRESCALE_SMAXES
+        if bool(_prescale_coverage_ok(rr, PRESCALE_M, H, W, s))
+    ]
+    if expected_smax > max(PRESCALE_SMAXES):
+        assert admitting == [], (
+            f"view {size}px@{theta} unexpectedly admitted by {admitting}"
+        )
+    else:
+        assert admitting and admitting[0] == expected_smax, (
+            f"view {size}px@{theta}: tightest admitting class "
+            f"{admitting[:1]} != expected {expected_smax}"
+        )
+
+
 @pytest.mark.parametrize("dbuf", [False, True])
 def test_pallas_prescale_dbuf_forced(dbuf):
     """Both crop-DMA buffering modes (single / double) must be
