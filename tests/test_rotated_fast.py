@@ -403,6 +403,52 @@ def test_banded_auto_any_rotation(theta):
     assert exact_frac > 0.999, exact_frac
 
 
+@pytest.mark.parametrize(
+    "size,theta,tol",
+    # tol: stride-1 views (bbox <= 512) sample on the exact grid
+    # (<= 1 px rounding); stride-2 views subsample (<= 1 px grid
+    # quantization + rounding -> 2).
+    [(480.0, 1.57, 1), (400.0, -1.57, 1), (700.0, 2.4, 2),
+     (836.0, 0.8, 2)],
+)
+def test_default_config_no_black_fill_steep_rotation(size, theta, tol):
+    """REGRESSION (round-3 review): the x-window proof must include
+    rows_per_block — rotation mixes output rows into source x, so a
+    config with rpb > cols (the briefly-shipped band_p=192/rpb=64 face
+    default) read up to ~22% black at steep rotations for views >=
+    ~400 px while every then-existing test masked black pixels OUT of
+    its comparison. This test drives the DEFAULT config at the failing
+    geometry and asserts black appears ONLY where the exact sampler is
+    itself out-of-bounds."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([960, 540, size, size, theta], np.float32)
+    exact = np.asarray(
+        sample_view_rgba(jnp.asarray(img), jnp.asarray(rrect), 192, 192)
+    )
+    fast = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrect[None]), 192, 192,
+            0.0, 255.0, interpret=True,  # default auto config
+        )[0]
+    ).round().astype(np.int64)
+    in_frame = exact[..., 3] == 255
+    # coord_image encodes coordinates, so a real pixel is never 0 in
+    # all three channels except source (0, 0) — tolerate a handful of
+    # genuine edge pixels, not percent-scale fill.
+    black = fast.sum(-1) == 0
+    black_in_frame = float((black & in_frame).mean())
+    assert black_in_frame < 1e-3, (
+        f"{black_in_frame:.1%} of in-frame pixels black at "
+        f"{size}px theta={theta} — x/y window coverage broken"
+    )
+    ex_x, ex_y = decode(exact)
+    fa_x, fa_y = decode(fast)
+    valid = in_frame & ~black
+    assert np.abs(ex_x - fa_x)[valid].max() <= tol
+    assert np.abs(ex_y - fa_y)[valid].max() <= tol
+
+
 @pytest.mark.parametrize("theta", [0.2, 1.1, -2.5])
 def test_resident_banded_bit_identical(theta):
     """RESIDENT banded mode (whole intermediate as a per-view VMEM

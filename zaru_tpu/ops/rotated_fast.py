@@ -826,7 +826,14 @@ def rotated_sample_fast(
         xroll = bool(resident) and win_x is None and M >= 256 and P < M
     if xroll and win_x is None:
         XW = min(128, M)
-    xroll = bool(xroll) and bool(resident) and XW < M and M >= XW + 128
+    # The roll extraction clips its 128-aligned pre-slice start to
+    # M - (XW + 128) and asserts 128-alignment on the result — the claim
+    # is only TRUE when that clip bound is itself a 128-multiple (false
+    # multiple_of miscompiles on Mosaic), i.e. M and XW both are.
+    xroll = (
+        bool(xroll) and bool(resident) and XW < M and M >= XW + 128
+        and M % 128 == 0 and XW % 128 == 0
+    )
 
     # Rolled-window mode for full-band configs (see _rotate_kernel): with
     # SQUARE views (w == h ⇒ sx == sy, e.g. every cascade ROI — all CNN
@@ -844,7 +851,10 @@ def rotated_sample_fast(
     # 128-aligned pre-slice); smaller intermediates fall back to the
     # plain full-band kernel.
     rolled = False
-    if square_views and P == M and XW == M and out_w == out_h and M >= 256:
+    # M % 128 == 0: the rolled pre-slice clips its start to M - 256 and
+    # asserts 128-alignment — only true for 128-multiple M (see xroll).
+    if (square_views and P == M and XW == M and out_w == out_h
+            and M >= 256 and M % 128 == 0):
         rpb_choices = [rows_per_block] if rows_per_block else [32, 16, 8]
         for cs in (c for c in range(1, 33) if out_w % c == 0):
             hit = False
@@ -875,19 +885,29 @@ def rotated_sample_fast(
 
     # x-window coverage: a block's source-x span in prescale units is
     #   cols*cos*(w/sx)/out_w + rows*sin*(h/sy)/out_h
-    # maximized (LP over w,h >= 0 under the prescale bbox constraints
-    # w*cos + h*sin <= (M-margin)*sx and w*sin + h*cos <= (M-margin)*sy)
-    # at (M-margin)*cols/out_w — independent of rotation. The usable
-    # window past a block's xmin is XW - 128 (128-alignment + floor), and
-    # index rounding adds <= ~2.5 px of wiggle per side (two-stage
+    # — rotation mixes output ROWS into source x, so the span depends on
+    # rows_per_block too. With u = w/sx, v = h/sy (both <= M - margin by
+    # the prescale bbox constraints u*cos + v*sin <= M-m and
+    # u*sin + v*cos <= M-m), the objective A*cos*u + B*sin*v with
+    # A = cols/out_w, B = rpb/out_h is bounded by
+    # max(A, B)*(cos*u + sin*v) <= max(A, B)*(M-m) at ANY rotation.
+    # (The round-3 face default once forced rpb=64 > cols=32 under an
+    # older bound that dropped the rpb term — steep rotations of views
+    # >= ~400 px then read up to ~22% black: a silent serving bug caught
+    # by review, reproduced, and fixed by this bound.) The usable window
+    # past a block's xmin is XW - 128 (128-alignment + floor), and index
+    # rounding adds <= ~2.5 px of wiggle per side (two-stage
     # round-half-away, |c|+|s| <= sqrt(2)) plus up to ~2 px of additional
     # margin error at stride > 1; 10 px of slack covers both with room.
-    def covered(cs):
+    def covered(cs, rpb):
         # x-roll replaces the 128-lane DMA alignment (and its <=127-col
         # loss) with a dynamic roll; only the span + rounding slack must
         # fit the window then.
         slack = 0 if xroll else 128
-        return XW - slack >= (M - PRESCALE_MARGIN) / cs + 10
+        span = (M - PRESCALE_MARGIN) * max(
+            (out_w // cs) / out_w, rpb / out_h
+        )
+        return XW - slack >= span + 10
 
     if not rolled:
         def rpb_for(cs):
@@ -929,19 +949,20 @@ def rotated_sample_fast(
             # any rotation, so the serving paths need no angle clamp.
             candidates = [c for c in range(2, 33) if out_w % c == 0]
             col_split = next(
-                (c for c in candidates if covered(c) and any_rotation(c)),
+                (c for c in candidates
+                 if covered(c, rpb_for(c)) and any_rotation(c)),
                 None,
             ) or next(
-                (c for c in candidates if c >= 4 and covered(c)),
+                (c for c in candidates if c >= 4 and covered(c, rpb_for(c))),
                 4 if out_w % 4 == 0 else 1,
             )
+        rows_pb = rpb_for(col_split)
         # Never silently clip: without a coverage proof, disable the
         # window (and the roll extraction, whose pre-slice needs
         # XW + 128 <= M).
-        if not covered(col_split):
+        if not covered(col_split, rows_pb):
             XW = M
             xroll = False
-        rows_pb = rpb_for(col_split)
     assert out_w % col_split == 0
     assert out_h % rows_pb == 0
     B = image_u8.shape[0]
@@ -959,13 +980,11 @@ def rotated_sample_fast(
     H, W = image_u32.shape[1], image_u32.shape[2]
     N = B * S
 
-    def coefs_one(img, rr):
+    def coefs_one(rr):
         left, top, sx, sy, _bw, _bh = _prescale_geometry(rr, M)
         return _sampler_coefs(rr, out_w, out_h, left, top, sx, sy)
 
-    coefs = jax.vmap(jax.vmap(coefs_one, in_axes=(None, 0)))(
-        image_u32, rrect_flat
-    ).reshape(N, -1)
+    coefs = jax.vmap(jax.vmap(coefs_one))(rrect_flat).reshape(N, -1)
 
     def take_path(ops):
         img32, rrf = ops

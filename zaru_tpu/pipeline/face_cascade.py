@@ -39,18 +39,21 @@ __all__ = ["FaceTracker", "FaceTrackerState", "default_face_sampler_opts"]
 
 
 def default_face_sampler_opts(lm_cnn) -> dict:
-    """Measured-best fast-sampler config for the face landmark shapes.
+    """Fast-sampler config for the face landmark shapes: the sampler's
+    own auto config (cs=6 / rpb=32 / x-roll at FaceMesh shapes), whose
+    x-window AND y-band coverage proofs both hold at ANY rotation.
 
-    band_p=192 / rows_per_block=64 (fewer, bigger banded blocks; with the
-    auto x-roll window) ran 8.44 ms/step upright and 12.9 tilted at batch
-    128 vs 8.73/13.8 for the base auto config (examples/r3bench5.py) —
-    the `any_rotation` y-band proof holds at these shapes, so rotation
-    coverage is unchanged. Only applies when the landmark input height
-    divides into 64-row blocks (FaceMesh 192/256); other landmarkers
-    (e.g. 160/112-px 68-point nets) keep the sampler's own auto config.
+    History: round 3 briefly forced band_p=192 / rows_per_block=64 here
+    (~0.3 ms/step faster upright at batch 128, examples/r3bench5.py),
+    but rotation mixes output ROWS into source x, so that config's
+    64-row blocks exceed the 128-column x-roll window at steep
+    rotations for views >= ~400 px — up to ~22% black fill, caught by
+    review and reproduced. The corrected `covered()` proof in
+    ops/rotated_fast.py now rejects rpb > cols at XW=128, and this
+    function returns the proven auto config; re-adding a faster block
+    shape requires a coverage proof, not just a benchmark.
     """
-    if lm_cnn.input_resolution().height % 64 == 0:
-        return {"band_p": 192, "rows_per_block": 64}
+    del lm_cnn
     return {}
 
 FaceTrackerState = dict  # pytree: roi [5], tracking [], filter state
