@@ -19,8 +19,15 @@ so the win should be most of that. This batch measures, on device:
   was invisible to jit's cache and made the first A/B's sampler arms
   measure the same program twice.
 
+- faceconfig: proven face blockings A/B after the rpb=64 retraction
+  (the x-window proof omitted rows_per_block; BENCHMARKS "CORRECTION"):
+  auto (cs=6/rpb=32/XW=128, 36 blocks) vs the proven candidate
+  cs=3/rpb=64/XW=256 (9 blocks, 2x contraction width), upright and at
+  theta=1.0, plus the production-cadence cascade with the winner's
+  default.
+
 Usage: python examples/r3bench6.py [out.jsonl] [which ...]
-  which ∈ {parity, stages, sampler} (default: all)
+  which ∈ {parity, stages, sampler, faceconfig} (default: all)
 
 Timing honesty: every window forces a device→host readback (np.asarray);
 jax.block_until_ready does NOT block through this tunnel (CLAUDE.md).
@@ -30,6 +37,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 # _common honors JAX_PLATFORMS=cpu (the axon sitecustomize ignores the
 # env var alone) and puts the repo root on sys.path.
@@ -37,7 +45,7 @@ from _common import bench_log as log  # noqa: F401
 from _common import make_bench_frame, make_emit, timed_windows
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r3bench6.jsonl"
-WHICH = set(sys.argv[2:]) or {"parity", "stages", "sampler"}
+WHICH = set(sys.argv[2:]) or {"parity", "stages", "sampler", "faceconfig"}
 
 import numpy as np  # noqa: E402
 
@@ -174,6 +182,71 @@ def main():
                       "dbuf": dbuf,
                       "ms_per_step": round(dt / STEPS * 1e3, 2),
                       "fps": round(B * STEPS / dt)})
+
+    if "faceconfig" in WHICH:
+        CANDIDATE = dict(
+            band_p=192, col_split=3, rows_per_block=64, win_x=256,
+            xroll=True,
+        )
+
+        def make_cfg(opts):
+            @jax.jit
+            def run(fr, rr):
+                def body(c, _):
+                    out = rotated_sample_fast(
+                        fr, rr + c * 1e-6, 192, 192, 0.0, 1.0,
+                        pallas_prescale=True, **opts,
+                    )
+                    return c + 1.0, out[:, 0, 0, 0]
+
+                _, outs = lax.scan(body, 0.0, None, length=STEPS)
+                return outs
+
+            return run
+
+        for label, opts in (("auto", {}), ("cs3-xw256", CANDIDATE)):
+            for theta in (0.12, 1.0):
+                dt = timed_windows(
+                    make_cfg(opts), frames, rects(theta),
+                    label=f"face {label} theta={theta}",
+                )
+                emit({"bench": "face_config", "config": label,
+                      "theta": theta,
+                      "ms_per_step": round(dt / STEPS * 1e3, 2),
+                      "fps": round(B * STEPS / dt)})
+
+        # Production cadence with the shipped default (auto) — the
+        # headline re-measurement after the retraction.
+        from zaru_tpu.pipeline import FaceTracker
+
+        tracker = FaceTracker()
+        state = tracker.init_state(batch=B)
+
+        @jax.jit
+        def run_cascade(params, state, fr):
+            def body(st, t):
+                st, out = tracker.step_batch(params, st, fr, t % 9 == 0)
+                return st, out["confidence"]
+
+            return lax.scan(body, state, jnp.arange(STEPS))
+
+        t0 = time.perf_counter
+        tt = t0()
+        state, confs = run_cascade(tracker.params, state, frames)
+        confs = np.asarray(confs)
+        log(f"[cascade] compile+detect {t0() - tt:.1f}s "
+            f"conf {confs[-1].min():.2f}")
+        best = float("inf")
+        for _ in range(5):
+            tt = t0()
+            _s, confs = run_cascade(tracker.params, state, frames)
+            np.asarray(confs)
+            best = min(best, t0() - tt)
+            log(f"[cascade] window {best * 1e3:.0f} ms best")
+        emit({"bench": "cascade_production", "config": "auto default",
+              "ms_per_step": round(best / STEPS * 1e3, 2),
+              "fps": round(B * STEPS / best),
+              "tracked": float(confs[-1].min())})
 
     log("done")
 

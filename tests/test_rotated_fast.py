@@ -449,6 +449,39 @@ def test_default_config_no_black_fill_steep_rotation(size, theta, tol):
     assert np.abs(ex_y - fa_y)[valid].max() <= tol
 
 
+@pytest.mark.parametrize(
+    "size,theta,tol",
+    [(480.0, 1.57, 1), (836.0, 0.8, 2)],
+)
+def test_cs3_candidate_config_any_rotation(size, theta, tol):
+    """The proven faster face-candidate blocking (col_split=3, rpb=64,
+    win_x=256 x-roll: 9 blocks/view, x-span 180 <= 246, y-span 185 <=
+    P=192) must hold the same no-black-fill bar as the auto default at
+    steep rotations before any benchmark can promote it."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    rrect = np.asarray([960, 540, size, size, theta], np.float32)
+    exact = np.asarray(
+        sample_view_rgba(jnp.asarray(img), jnp.asarray(rrect), 192, 192)
+    )
+    fast = np.asarray(
+        rotated_sample_fast(
+            jnp.asarray(img[None]), jnp.asarray(rrect[None]), 192, 192,
+            0.0, 255.0, interpret=True,
+            band_p=192, col_split=3, rows_per_block=64, win_x=256,
+            xroll=True,
+        )[0]
+    ).round().astype(np.int64)
+    in_frame = exact[..., 3] == 255
+    black = fast.sum(-1) == 0
+    assert float((black & in_frame).mean()) < 1e-3
+    ex_x, ex_y = decode(exact)
+    fa_x, fa_y = decode(fast)
+    valid = in_frame & ~black
+    assert np.abs(ex_x - fa_x)[valid].max() <= tol
+    assert np.abs(ex_y - fa_y)[valid].max() <= tol
+
+
 @pytest.mark.parametrize("theta", [0.2, 1.1, -2.5])
 def test_resident_banded_bit_identical(theta):
     """RESIDENT banded mode (whole intermediate as a per-view VMEM
