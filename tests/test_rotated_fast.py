@@ -363,7 +363,12 @@ def test_pallas_prescale_rolled_any_rotation():
             band_p=PRESCALE_M, col_split=1, square_views=True,
         )[0]
     ).round().astype(np.int64)
-    valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
+    in_frame = exact[..., 3] == 255
+    # Black must appear ONLY where the exact sampler is itself OOB —
+    # masking black out of the comparison is how the rpb=64 x-window
+    # bug survived the suite (see the no_black_fill regression tests).
+    assert float(((fast.sum(-1) == 0) & in_frame).mean()) < 1e-3
+    valid = in_frame & (fast.sum(-1) > 0)
     assert valid.mean() > 0.9
     ex_x, ex_y = decode(exact)
     fa_x, fa_y = decode(fast)
@@ -393,7 +398,10 @@ def test_banded_auto_any_rotation(theta):
             0.0, 255.0, interpret=True,  # default banded auto config
         )[0]
     ).round().astype(np.int64)
-    valid = (exact[..., 3] == 255) & (fast.sum(-1) > 0)
+    in_frame = exact[..., 3] == 255
+    # No black where the exact sampler has pixels (see no_black_fill).
+    assert float(((fast.sum(-1) == 0) & in_frame).mean()) < 1e-3
+    valid = in_frame & (fast.sum(-1) > 0)
     assert valid.mean() > 0.9
     ex_x, ex_y = decode(exact)
     fa_x, fa_y = decode(fast)
