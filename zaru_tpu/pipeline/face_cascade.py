@@ -82,6 +82,7 @@ class FaceTracker:
         fast_sampler: bool = True,
         iris: bool = False,
         sampler_opts: dict | None = None,
+        redetect_bucket: int | None = None,
     ):
         self.detector = detector or ShortRangeNetwork(compute_dtype=compute_dtype)
         self.landmarker = landmarker or FaceMeshV1(compute_dtype=compute_dtype)
@@ -109,6 +110,15 @@ class FaceTracker:
             default_face_sampler_opts(self.lm_cnn)
             if sampler_opts is None else sampler_opts
         )
+        # Bounded redetection for the gated batch path: when set, an
+        # unforced detection frame samples + detects only the first K
+        # lost streams (static shapes) instead of the whole batch,
+        # capping the gate's worst-case frame cost at detector(K) when a
+        # single stream drops. None keeps the all-streams branch (best
+        # steady-state simplicity; the measured tradeoff is in
+        # BENCHMARKS.md "batch gate"). Forced-cadence detection frames
+        # always redetect every stream either way.
+        self.redetect_bucket = redetect_bucket
         self.elapsed = 1.0 / frame_rate
         self.num_landmarks = len(self.landmarker.init_estimate().landmarks_mut())
 
@@ -202,6 +212,33 @@ class FaceTracker:
         return jax.vmap(lambda o, f: self._detect_tail(o, f, res))(
             outputs, fits
         )
+
+    def _detect_bucket(self, params, state, frames):
+        """Bounded redetection: detect only the first K lost streams.
+
+        K = ``self.redetect_bucket`` (static). Lost streams are gathered
+        to the front (stable argsort on the tracking mask), their K
+        frames sampled + detected as one batched pass, and the resulting
+        ROIs scattered back; any further lost streams drain on subsequent
+        frames at K per frame. This bounds the detection-gate's
+        worst-case frame cost at detector(K) instead of detector(B) when
+        a single stream drops — the batched, static-shape analog of the
+        reference's per-stream redetection on host threads
+        (hand/tracking.rs:41). Returns (rois [B,5], founds [B],
+        seeded [B]) with tracked streams' ROIs bit-identically carried.
+        """
+        tr = state["tracking"]
+        k = min(int(self.redetect_bucket), int(tr.shape[0]))
+        idx = jnp.argsort(tr, stable=True)[:k]  # lost (False) sort first
+        sel = jnp.logical_not(tr[idx])  # bucket slots that are really lost
+        rois_k, found_k = self._detect_batch(params, frames[idx])
+        apply = sel & found_k
+        rois = state["roi"].at[idx].set(
+            jnp.where(apply[:, None], rois_k, state["roi"][idx])
+        )
+        founds = tr.at[idx].set(tr[idx] | apply)
+        seeded = jnp.zeros_like(tr).at[idx].set(sel)
+        return rois, founds, seeded
 
     def _track(self, params, state, frame, roi, seeded):
         """One landmark-tracking step (landmark.rs:463-501), traced."""
@@ -420,6 +457,11 @@ class FaceTracker:
         ``force_detect`` (traced bool) forces the detection branch — the
         production redetect cadence (hand/tracking.rs:41).
 
+        With ``redetect_bucket=K``, an unforced detection frame runs the
+        bounded :meth:`_detect_bucket` (detector over K lost streams)
+        instead of the all-streams pass, trading redetect drain rate
+        (K streams/frame) for a bounded worst-case frame cost.
+
         Structure note: only the ROI *sources* go through the cond — the
         landmark pass (`_track_batch`) runs unconditionally after it.
         Round 3 measured the earlier both-branches-run-the-tracker shape
@@ -442,7 +484,21 @@ class FaceTracker:
             rois = jnp.where(tr[:, None], state["roi"], det_rois)
             return rois, tr | det_founds, ~tr
 
-        rois, founds, seeded = lax.cond(all_tracking, keep, full, None)
+        if self.redetect_bucket:
+            # Bounded worst case: an unforced detection frame (some
+            # stream lost) detects only K streams; the forced cadence
+            # still redetects everyone.
+            def detect(x):
+                return lax.cond(
+                    jnp.asarray(force_detect),
+                    full,
+                    lambda _: self._detect_bucket(params, state, frames),
+                    x,
+                )
+        else:
+            detect = full
+
+        rois, founds, seeded = lax.cond(all_tracking, keep, detect, None)
         new_state, out = self._track_batch(params, state, frames, rois, seeded)
         new_state = dict(new_state, tracking=new_state["tracking"] & founds)
         out = dict(out, valid=out["valid"] & founds)
