@@ -109,3 +109,47 @@ def test_bucket_larger_than_batch_clamps(frame):
     state = tracker.init_state(batch=batch)
     state, out = tracker.run_frames_gated(state, frames)
     assert bool(np.asarray(out["valid"]).all())
+
+
+# --- multi-object engine (MultiObjectTracker.step_batch) -------------------
+
+
+def test_multi_object_bucket_drains_and_matches_full(frame):
+    """The slot engine's bucket: a loss-triggered detection frame detects
+    only K lost streams; interval/forced redetects still run everyone
+    (skipping one would MISS — not delay — that stream's periodic
+    redetect). Recovery of the bucketed stream is bit-identical to the
+    all-streams branch."""
+    from zaru_tpu.pipeline import MultiFaceTracker
+
+    batch = 3
+    frames = jnp.stack([frame] * batch)
+    frames_lost = frames.at[1].set(0)
+
+    outs = []
+    for bucket in (1, None):
+        # detect_interval hits at frame 0 only (seeds every stream at
+        # once through the full branch in BOTH arms), never again
+        # within the test horizon.
+        t = MultiFaceTracker(
+            max_faces=2, detect_interval=10**6, redetect_bucket=bucket
+        )
+        state = t.init_state(batch=batch)
+        state, out = t.run_frames_gated(state, frames)  # interval seed
+        assert bool(np.asarray(out["valid"]).any(axis=1).all())
+        state, out = t.run_frames_gated(state, frames)  # steady keep
+        # Stream 1 blanks: its slots lose presence.
+        state, out = t.run_frames_gated(state, frames_lost)
+        tracked = np.asarray(out["valid"]).any(axis=1)
+        assert tracked[0] and tracked[2] and not tracked[1]
+        # Recovery: loss-triggered detect (bucket of 1 vs all streams).
+        state, out = t.run_frames_gated(state, frames)
+        assert bool(np.asarray(out["valid"]).any(axis=1).all())
+        outs.append(out)
+
+    for key in ("landmarks", "confidence"):
+        a, b = np.asarray(outs[0][key]), np.asarray(outs[1][key])
+        assert np.array_equal(a, b), (
+            f"slot-engine bucketed recovery diverged on {key}: "
+            f"max diff {np.abs(a - b).max()}"
+        )

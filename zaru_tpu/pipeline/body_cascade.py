@@ -61,6 +61,7 @@ class BodyTracker(MultiObjectTracker):
         presence_threshold: float = 0.5,
         iou_thresh: float = 0.3,
         compute_dtype=None,
+        redetect_bucket: int | None = None,
     ):
         super().__init__(
             detector or PoseNetwork(compute_dtype=compute_dtype),
@@ -73,6 +74,7 @@ class BodyTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=presence_threshold,
             iou_thresh=iou_thresh,
+            redetect_bucket=redetect_bucket,
             # Full-band fast sampling: any body rotation (lying-down poses
             # included); body views are large, so the 256-px intermediate
             # subsamples big subjects on an integer-stride grid.

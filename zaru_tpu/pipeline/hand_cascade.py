@@ -54,6 +54,7 @@ class MultiHandTracker(MultiObjectTracker):
         fast_sampler: bool = True,
         compute_dtype=None,
         sampler_opts: dict | None = None,
+        redetect_bucket: int | None = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs both CNN bodies in bf16 —
         a serving-speed knob (~25-35% per model). CAUTION: measured
@@ -71,6 +72,7 @@ class MultiHandTracker(MultiObjectTracker):
             detection_threshold=detection_threshold,
             presence_threshold=presence_threshold,
             iou_thresh=iou_thresh,
+            redetect_bucket=redetect_bucket,
             # Hands rotate arbitrarily (fingers-up canonicalization spans
             # ±180°), so the fast path uses the sampler's FULL-band
             # configuration (band_p == prescale_m): any rotation, bit-exact

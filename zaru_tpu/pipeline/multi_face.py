@@ -40,6 +40,7 @@ class MultiFaceTracker(MultiObjectTracker):
         detection_threshold: float = 0.5,
         loss_threshold: float = 0.5,
         iou_thresh: float = 0.3,
+        redetect_bucket: int | None = None,
     ):
         landmarker = landmarker or FaceMeshV1()
         super().__init__(
@@ -59,4 +60,5 @@ class MultiFaceTracker(MultiObjectTracker):
             # measured-best face config (r3bench5).
             fast_sampler=True,
             sampler_opts=default_face_sampler_opts(landmarker.cnn()),
+            redetect_bucket=redetect_bucket,
         )

@@ -54,6 +54,7 @@ class MultiObjectTracker:
         fast_sampler: bool = False,
         angle_clamp: float | None = None,
         sampler_opts: dict | None = None,
+        redetect_bucket: int | None = None,
     ):
         self.detector = detector
         self.landmarker = landmarker
@@ -75,6 +76,13 @@ class MultiObjectTracker:
         self.fast_sampler = fast_sampler
         self.angle_clamp = angle_clamp
         self.sampler_opts = sampler_opts or {}
+        # Bounded redetection for the gated batch path (see
+        # FaceTracker.redetect_bucket): when set, a LOSS-triggered
+        # detection frame detects only the first K all-slots-lost
+        # streams; interval/forced redetects still run every stream
+        # (missing one would skip — not merely delay — that stream's
+        # periodic redetect).
+        self.redetect_bucket = redetect_bucket
 
         self.params = {"det": self.det_cnn.params, "lm": self.lm_cnn.params}
         self._step = jax.jit(self.step)
@@ -285,12 +293,10 @@ class MultiObjectTracker:
         batched fast-sampled landmark pass runs; otherwise the per-stream
         ROI phase executes under vmap. State carries a leading [B] axis
         (``init_state(batch=B)``)."""
+        lost = ~jnp.any(state["active"], axis=1)  # [B] all slots inactive
+        interval_due = state["frame"] % self.detect_interval == 0
         any_detect = jnp.logical_or(
-            force_detect,
-            jnp.any(
-                (~jnp.any(state["active"], axis=1))
-                | (state["frame"] % self.detect_interval == 0)
-            ),
+            force_detect, jnp.any(lost | interval_due)
         )
 
         def roi_full(_):
@@ -299,9 +305,7 @@ class MultiObjectTracker:
             # anyway, per-stream and unfused), then per-stream slot
             # assignment only where that stream is due a detection.
             cand_rois, cand_valid = self._detect_batch(params, frames)
-            do_detect = (~jnp.any(state["active"], axis=1)) | (
-                state["frame"] % self.detect_interval == 0
-            )
+            do_detect = lost | interval_due
 
             def pick(st, cr, cv, do):
                 rois, active = self._assign(st, cr, cv)
@@ -315,7 +319,46 @@ class MultiObjectTracker:
         def roi_keep(_):
             return state["rois"], state["active"]
 
-        rois, active = lax.cond(any_detect, roi_full, roi_keep, None)
+        if self.redetect_bucket:
+            # Bounded loss recovery: gather the first K lost streams
+            # (static shapes), detect + assign only those, scatter back.
+            # Interval/forced frames take the all-streams branch so the
+            # periodic cadence is never skipped.
+            def roi_bucket(_):
+                k = min(int(self.redetect_bucket), int(lost.shape[0]))
+                idx = jnp.argsort(~lost, stable=True)[:k]  # lost first
+                sel = lost[idx]
+                cand_rois, cand_valid = self._detect_batch(
+                    params, frames[idx]
+                )
+                sub = jax.tree_util.tree_map(lambda a: a[idx], state)
+
+                def pick(st, cr, cv, do):
+                    rois, active = self._assign(st, cr, cv)
+                    return (
+                        jnp.where(do, rois, st["rois"]),
+                        jnp.where(do, active, st["active"]),
+                    )
+
+                rois_k, active_k = jax.vmap(pick)(
+                    sub, cand_rois, cand_valid, sel
+                )
+                return (
+                    state["rois"].at[idx].set(rois_k),
+                    state["active"].at[idx].set(active_k),
+                )
+
+            def detect(x):
+                return lax.cond(
+                    jnp.asarray(force_detect) | jnp.any(interval_due),
+                    roi_full,
+                    roi_bucket,
+                    x,
+                )
+        else:
+            detect = roi_full
+
+        rois, active = lax.cond(any_detect, detect, roi_keep, None)
         new_rois, confidence, extras, pos = self._track_slots_batch(
             params, frames, rois
         )
