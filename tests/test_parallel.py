@@ -64,6 +64,25 @@ def test_sharded_gated_fast_path(mesh, sad_linus_full):
     )
 
 
+def test_sharded_redetect_bucket_is_per_shard(mesh, sad_linus_full):
+    """Under stream sharding the bounded-redetect bucket is SHARD-LOCAL:
+    each chip drains K of its own lost streams per frame (worst-case
+    frame cost detector(K) per chip, no collectives). From all-lost,
+    16 streams over 8 shards with K=1 acquire 8 per frame."""
+    from zaru_tpu.parallel import ShardedFaceTracker
+    from zaru_tpu.pipeline import FaceTracker
+
+    tracker = FaceTracker(smooth=None, redetect_bucket=1)
+    sharded = ShardedFaceTracker(tracker, mesh)
+    batch = 16
+    state = sharded.init_state(batch)
+    frames = sharded.shard_frames(jnp.stack([sad_linus_full.data] * batch))
+    state, out = sharded.step_gated(state, frames)
+    assert int(np.asarray(out["valid"]).sum()) == 8
+    state, out = sharded.step_gated(state, frames)
+    assert int(np.asarray(out["valid"]).sum()) == 16
+
+
 def test_uneven_batch_rejected(mesh):
     from zaru_tpu.parallel import ShardedFaceTracker
     from zaru_tpu.pipeline import FaceTracker

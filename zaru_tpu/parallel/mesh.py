@@ -64,6 +64,10 @@ class ShardedFaceTracker:
         # Gated fast path: each chip runs the batch-level detection gate +
         # MXU fast sampler over ITS shard of streams (the gate predicate is
         # shard-local, so one busy shard never forces detection elsewhere).
+        # A tracker's redetect_bucket=K is likewise SHARD-LOCAL: each chip
+        # drains up to K of its own lost streams per frame, bounding the
+        # worst-case frame at detector(K) per chip with no collectives
+        # (tests/test_parallel.py::test_sharded_redetect_bucket_is_per_shard).
         gated = jax.shard_map(
             tracker.step_batch,
             mesh=mesh,
