@@ -135,6 +135,15 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
     )(frame_dev)
     jax.block_until_ready(frames)
     log(f"[B={batch}] frame upload+tile: {time.perf_counter() - t0:.1f}s")
+    # Heartbeat: the upload + readback just proved the tunnel is ALIVE.
+    # This line disarms the parent's silent-kill so a cold-cache fresh
+    # compile (70-900 s observed, with no output until the first window)
+    # is not mistaken for a wedge — killing mid-compile writes no
+    # persistent-cache entry, so every retry would recompile from
+    # scratch. A truly wedged tunnel blocks in the upload readback and
+    # never reaches this line; the hard budget+grace cap still bounds a
+    # post-upload wedge.
+    print("PARTIAL " + json.dumps({"phase": "upload_done"}), flush=True)
     state = tracker.init_state(batch=batch)
 
     @jax.jit
@@ -232,9 +241,14 @@ class ChildRun:
     many minutes (observed 2026-08-17: a prewarmed, cache-hitting
     batch-128 child produced zero windows in 540 s, minutes after the
     same program ran at 7k fps). ``wait`` therefore supports an early
-    "silent kill": if the child has streamed no measurement at all for
+    "silent kill": if the child has streamed NOTHING (not even the
+    post-upload "phase" heartbeat proving the tunnel alive) for
     ``silent_kill`` seconds it is presumed wedged and killed, freeing
     the remaining wall budget for the other configuration / retries.
+    A child that reached the heartbeat is allowed its full budget+grace
+    cap — long silences after upload are remote compile latency
+    (70-900 s fresh), not a wedge, and killing mid-compile writes no
+    persistent-cache entry.
     """
 
     def __init__(self, batch: int, budget: float, measure_p50: bool):

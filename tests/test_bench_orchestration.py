@@ -93,6 +93,28 @@ def test_streaming_child_not_silent_killed_while_producing():
     assert run.best_fps == 4800 and run.done
 
 
+def test_phase_heartbeat_disarms_silent_kill():
+    # A cold-cache child streams the "upload_done" phase heartbeat (the
+    # tunnel is alive) then produces nothing for the whole remote compile
+    # (70-900 s observed). It must NOT be wedge-killed — a killed compile
+    # writes no persistent-cache entry, so retries recompile from
+    # scratch. The heartbeat also must not pollute the fps result.
+    run = _stub(
+        128,
+        30,
+        "import time;"
+        "print('PARTIAL {\"phase\": \"upload_done\"}', flush=True);"
+        "time.sleep(6);"
+        "print('RESULT {\"fps\": 4800}', flush=True)",
+    )
+    deadline = time.monotonic() + 60
+    while not run.got_output and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert run.got_output, "stub child never produced its heartbeat"
+    run.wait(silent_kill=3.0)
+    assert run.best_fps == 4800 and run.done
+
+
 def test_final_json_contains_both_configs_and_p50(capsys):
     bench._printed = False
     bench._results.clear()
