@@ -459,7 +459,14 @@ def test_default_config_no_black_fill_steep_rotation(size, theta, tol):
 
 @pytest.mark.parametrize(
     "size,theta,tol",
-    [(480.0, 1.57, 1), (836.0, 0.8, 2)],
+    # Same geometry sweep as the default-config regression test (plus a
+    # stride-3 crop-class view): the staged faceconfig A/B may promote
+    # this blocking to the face default, so its coverage must be pinned
+    # at every failing-class geometry BEFORE any device benchmark can
+    # flip it. tol follows the stride convention (<= ceil(stride/2)
+    # grid quantization + 1 rounding).
+    [(480.0, 1.57, 1), (400.0, -1.57, 1), (700.0, 2.4, 2),
+     (836.0, 0.8, 2), (836.0, -2.2, 2), (1100.0, 1.0, 3)],
 )
 def test_cs3_candidate_config_any_rotation(size, theta, tol):
     """The proven faster face-candidate blocking (col_split=3, rpb=64,
