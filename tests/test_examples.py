@@ -70,6 +70,20 @@ def test_gui_file_backend(tmp_path, monkeypatch):
     assert len(files) == 1
 
 
+def test_eval_face_recognition_example(tmp_path):
+    # Two photos of the same person -> one intra-person pair; exercises
+    # the example's full detect -> crop -> embed -> distance loop
+    # (reference: examples/eval_face_recognition.rs).
+    img_dir = Path(__file__).resolve().parent.parent / "assets" / "img"
+    person = tmp_path / "linus"
+    person.mkdir()
+    for src in ("sad_linus.jpg", "sad_linus_cropped.jpg"):
+        (person / src).write_bytes((img_dir / src).read_bytes())
+    res = _run("eval_face_recognition.py", str(tmp_path))
+    assert res.returncode == 0, res.stderr
+    assert "intra-person distance" in res.stdout, res.stdout
+
+
 def test_usage_errors():
     for name in ("animation.py", "httpcam.py"):
         res = _run(name)
