@@ -74,13 +74,13 @@ def quiet_fps(batch: int) -> float:
     # batch 8 is dominated by batch-independent per-step cost. Headline
     # batch: after the round-3 sampler rework (Pallas crop-resident
     # prescale with stride-1/2/3 crop classes + double-buffered crop
-    # DMA + banded x-roll windows) the production cadence ran ~10k
-    # quiet — measured under the rpb=64 face blocking that the
-    # x-coverage fix then rejected (it black-filled steep rotations);
-    # the proven auto blocking costs ~1 ms/step more, so early-exit
-    # sits just under the expected ~9k quiet rate. Re-tune upward once
-    # a quiet window with the proven config is recorded.
-    return 8600.0 if batch >= 64 else 1050.0
+    # DMA + banded x-roll windows) the production cadence measured
+    # 9,891 fps quiet under the PROVEN auto face blocking (r3bench6
+    # re-run, 2026-08-18, post rpb=64 retraction); contended windows
+    # ran 7.3-8.2k the same day. Early-exit sits just under the quiet
+    # rate so a healthy run records the real headline; contended runs
+    # fall through to the plateau rule instead of stopping early.
+    return 9600.0 if batch >= 64 else 1050.0
 
 
 def log(*a):
