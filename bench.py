@@ -12,9 +12,13 @@ Methodology
 Measured loop = honest production cadence: a full detection pass every 9
 frames (the reference's 300 ms redetect at 30 fps, hand/tracking.rs:41),
 landmark+smooth every frame, over multi-step ``lax.scan`` dispatches.
-Configurations: batch 128 (MXU-saturating; the headline, since the metric
-is frames/sec/chip) and batch 8 (BASELINE config 5: "8 batched 1080p
-streams", also yields the p50 step latency).
+Configurations: batch 384 (the headline, since the metric is frames/sec/
+chip: the r3bench8 batch sweep measured 9.7k/11.2k/12.9k/12.7k fps at
+128/256/384/512 — the landmark CNN's per-layer latency floor amortizes
+with batch until HBM pressure bites at 512, and 1024 OOMs; 384 is also
+the largest batch whose ~30 ms step keeps a 30 fps stream real-time) and
+batch 8 (BASELINE config 5: "8 batched 1080p streams", also yields the
+p50 step latency).
 
 Timing honesty: through this tunnel ``jax.block_until_ready`` returns
 before execution finishes (async dispatch), so every window forces a real
@@ -31,7 +35,7 @@ BENCHMARKS.md.) Robustness on the shared, occasionally-wedging chip:
   a window comfortably beats the healthy level OR the best-so-far
   plateaus (contention is persistent load, not a quota — idling between
   attempts only wastes budget);
-- the parent runs the batch-128 headline first under a HARD cap (its
+- the parent runs the batch-384 headline first under a HARD cap (its
   programs reliably hit the compile cache), then hands batch-8 — whose
   fps and p50 are required artifact contents but whose scan program
   persistently misses the remote compile cache (150-500 s) — the whole
@@ -55,7 +59,7 @@ CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
 BASELINE_FPS = 2000.0
 BATCH_SMALL = int(os.environ.get("ZARU_BENCH_BATCH", "8"))
-BATCH_LARGE = int(os.environ.get("ZARU_BENCH_BATCH_LARGE", "128"))
+BATCH_LARGE = int(os.environ.get("ZARU_BENCH_BATCH_LARGE", "384"))
 SCAN_STEPS = int(os.environ.get("ZARU_BENCH_SCAN", "16"))
 BUDGET = float(os.environ.get("ZARU_BENCH_BUDGET", "1140"))
 DETECT_EVERY = 9
@@ -75,11 +79,14 @@ def quiet_fps(batch: int) -> float:
     # batch: after the round-3 sampler rework (Pallas crop-resident
     # prescale with stride-1/2/3 crop classes + double-buffered crop
     # DMA + banded x-roll windows) the production cadence measured
-    # 9,891 fps quiet under the PROVEN auto face blocking (r3bench6
-    # re-run, 2026-08-18, post rpb=64 retraction); contended windows
-    # ran 7.3-8.2k the same day. Early-exit sits just under the quiet
-    # rate so a healthy run records the real headline; contended runs
-    # fall through to the plateau rule instead of stopping early.
+    # 9,891 fps quiet at batch 128 (r3bench6 re-run, 2026-08-18, post
+    # rpb=64 retraction) and 12,927 at batch 384 (r3bench8 batch sweep,
+    # same day); contended windows ran 7.3-8.2k at 128. Early-exit sits
+    # just under the quiet rate so a healthy run records the real
+    # headline; contended runs fall through to the plateau rule instead
+    # of stopping early.
+    if batch >= 300:
+        return 12500.0
     return 9600.0 if batch >= 64 else 1050.0
 
 
@@ -407,11 +414,11 @@ def main() -> None:
     # in the artifact, and round 2 lost both by letting the headline
     # configuration burn the whole budget (VERDICT r2 missing #1). The
     # batch-8 SCAN program also persistently misses the remote compile
-    # cache across processes (150-500 s observed), while the batch-128
-    # program reliably hits it — so run batch-128 first under a HARD cap
-    # (cheap when cached), then hand batch-8 everything that remains
+    # cache across processes (150-500 s observed), while the headline
+    # program reliably hits it — so run the headline first under a HARD
+    # cap (cheap when cached), then hand batch-8 everything that remains
     # (the largest slice this budget can guarantee it).
-    # The cached batch-128 program reaches its first window in well under
+    # The cached headline program reaches its first window in well under
     # 300 s (compile-from-cache + one scan); a child silent for 360 s is a
     # wedged tunnel — kill early instead of burning the full grace.
     large_cap = min(300.0, BUDGET * 0.4)
