@@ -12,7 +12,10 @@ contraction per block is the suspect):
 - ``track-slots``  — sampler + CNN + decode + ROI update (the whole
                      landmark half, _track_slots_batch)
 
-Usage: python examples/handbench.py [batch [slots]]   (default 64 4)
+Usage: python examples/handbench.py [batch [slots [arms]]]
+(default 64 4; ``arms`` is a comma-separated subset of
+gated,sample-slots,lm-cnn,detect,track-slots — e.g. ``gated`` for a
+batch-size sweep without compiling the isolation arms)
 """
 
 import os
@@ -150,6 +153,12 @@ def main():
         "detect": scan_of(detect, params),
         "track-slots": scan_of(track_slots, rois),
     }
+    if len(sys.argv) > 3:
+        wanted = set(sys.argv[3].split(","))
+        unknown = wanted - set(paths)
+        if unknown:
+            sys.exit(f"unknown arms {sorted(unknown)}; have {sorted(paths)}")
+        paths = {k: v for k, v in paths.items() if k in wanted}
     for name, run in paths.items():
         try:
             run()  # compile
