@@ -1,0 +1,71 @@
+"""CLI (`python -m zaru_tpu`) smoke tests.
+
+The reference ships runnable per-pipeline binaries (examples/facemesh.rs
+etc.); the CLI is the installable analog. These drive it in-process on
+the fixture photo (CPU via conftest).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from zaru_tpu.__main__ import main
+from zaru_tpu.assets import fixture_path
+
+
+def test_track_face_fixture(tmp_path):
+    out = tmp_path / "out.jsonl"
+    ann = tmp_path / "ann"
+    rc = main(
+        [
+            "track",
+            str(fixture_path("sad_linus.jpg")),
+            "--out",
+            str(out),
+            "--annotate",
+            str(ann),
+        ]
+    )
+    assert rc == 0
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["frame"] == 0 and rec["valid"] is True
+    lm = np.asarray(rec["landmarks"])
+    assert lm.shape == (468, 3)
+    # Landmarks in image coordinates, inside the fixture photo.
+    h, w = 1080, 1440
+    assert (lm[:, 0] > 0).all() and (lm[:, 0] < w).all()
+    assert (lm[:, 1] > 0).all() and (lm[:, 1] < h).all()
+    assert (ann / "frame_00000.jpg").stat().st_size > 1000
+
+
+def test_track_directory_and_max_frames(tmp_path):
+    import shutil
+
+    src = fixture_path("sad_linus_cropped.jpg")
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    for i in range(3):
+        shutil.copy(src, imgdir / f"{i}.jpg")
+    out = tmp_path / "out.jsonl"
+    rc = main(
+        ["track", str(imgdir), "--out", str(out), "--max-frames", "2"]
+    )
+    assert rc == 0
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [r["frame"] for r in recs] == [0, 1]
+
+
+def test_track_rejects_iris_off_face():
+    with pytest.raises(SystemExit):
+        main(["track", "x.mp4", "--pipeline", "hand", "--iris"])
+
+
+def test_info(capsys):
+    assert main(["info"]) == 0
+    text = capsys.readouterr().out
+    assert "face_detection_short_range.onnx" in text
+    # The five upstream-missing blobs are reported as such, not hidden.
+    assert "pose_detection.onnx" in text and "MISSING" in text

@@ -1,0 +1,231 @@
+"""Command-line interface: offline tracking and asset inventory.
+
+The reference ships runnable binaries per pipeline (its examples/, e.g.
+examples/facemesh.rs, examples/hand_tracking.rs); this module is the
+installable analog — one entry point that drives the fused device
+pipelines over offline inputs:
+
+    python -m zaru_tpu info
+    python -m zaru_tpu track INPUT [--pipeline face|hand|body] [--iris]
+        [--out out.jsonl] [--annotate DIR] [--max-frames N] [--slots K]
+
+``track`` reads INPUT (video file, GIF/APNG animation, single image, or a
+directory of images), runs the chosen fused cascade one stream at a time,
+and writes one JSON line per frame (landmarks in image coordinates).
+``info`` reports the runtime (JAX version, devices) and which model blobs
+resolve through the ``ZARU_TPU_MODELS`` search chain — the first thing to
+check when a wrapper raises ``ModelMissingError``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+_IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+_ANIM_EXTS = {".gif", ".apng"}
+
+# Every model blob the domain wrappers can load (SURVEY.md §2.4), in
+# wrapper order. `info` reports found/missing for each.
+_KNOWN_MODELS = (
+    ("face.detection.ShortRangeNetwork", "face_detection_short_range.onnx"),
+    ("face.detection.FullRangeNetwork", "face_detection_full_range.onnx"),
+    ("face.landmark.mediapipe.FaceMeshV1", "face_landmark.onnx"),
+    ("face.landmark.mediapipe.FaceMeshV2", "face_landmarks_detector.onnx"),
+    ("face.landmark.multipie68.PeppaFacialLandmark", "slim_160_latest.onnx"),
+    ("face.landmark.multipie68.FaceOnnx", "landmarks_68_pfld.onnx"),
+    ("face.eye.EyeNetwork", "iris_landmark.onnx"),
+    ("face.recognition.Embedder", "mobilefacenet.onnx"),
+    ("hand.detection.LiteNetwork", "palm_detection_lite.onnx"),
+    ("hand.detection.FullNetwork", "palm_detection_full.onnx"),
+    ("hand.landmark.LiteNetwork", "hand_landmark_lite.onnx"),
+    ("hand.landmark.FullNetwork", "hand_landmark_full.onnx"),
+    ("body.detection.PoseNetwork", "pose_detection.onnx"),
+    ("body.landmark.LiteNetwork", "pose_landmark_lite.onnx"),
+    ("body.landmark.FullNetwork", "pose_landmark_full.onnx"),
+)
+
+
+def _iter_frames(path: Path):
+    """Yields `Image` frames from a video / animation / image / directory."""
+    from .image import Image
+
+    if path.is_dir():
+        files = sorted(
+            p for p in path.iterdir() if p.suffix.lower() in _IMAGE_EXTS
+        )
+        if not files:
+            raise SystemExit(f"no images ({sorted(_IMAGE_EXTS)}) in {path}")
+        for f in files:
+            yield Image.load(f)
+    elif path.suffix.lower() in _ANIM_EXTS:
+        from .video.anim import Animation
+
+        for fr in Animation.from_path(path).frames():
+            yield fr.image_view()
+    elif path.suffix.lower() in _IMAGE_EXTS:
+        yield Image.load(path)
+    else:
+        from .video.file import VideoFile
+
+        video = VideoFile(path)
+        while True:
+            frame = video.read()
+            if frame is None:
+                return
+            yield frame
+
+
+def _build_tracker(name: str, *, iris: bool, slots: int):
+    from . import pipeline
+
+    if name == "face":
+        return pipeline.FaceTracker(iris=iris)
+    if iris:
+        raise SystemExit("--iris only applies to --pipeline face")
+    if name == "hand":
+        return pipeline.MultiHandTracker(max_hands=slots)
+    if name == "body":
+        return pipeline.BodyTracker()
+    raise SystemExit(f"unknown pipeline {name!r}")
+
+
+def _to_jsonable(out: dict) -> dict:
+    import numpy as np
+
+    rec = {}
+    for key, val in out.items():
+        arr = np.asarray(val)
+        rec[key] = arr.item() if arr.ndim == 0 else arr.tolist()
+    return rec
+
+
+def _annotate(image, out, path: Path):
+    import cv2
+    import numpy as np
+
+    from .image.draw import Canvas, marker
+
+    canvas = Canvas(image)
+    landmarks = np.asarray(out["landmarks"])
+    valid = np.atleast_1d(np.asarray(out["valid"]))
+    slot_lms = landmarks[None] if landmarks.ndim == 2 else landmarks
+    for ok, lms in zip(valid, slot_lms):
+        if bool(ok):
+            for p in lms:
+                marker(canvas, p[:2], size=2)
+    rgba = canvas.flush().to_numpy()
+    cv2.imwrite(str(path), cv2.cvtColor(rgba, cv2.COLOR_RGBA2BGR))
+
+
+def cmd_track(args) -> int:
+    import numpy as np
+
+    tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
+    state = tracker.init_state()
+    sink = open(args.out, "w") if args.out else sys.stdout
+    annotate_dir = None
+    if args.annotate:
+        annotate_dir = Path(args.annotate)
+        annotate_dir.mkdir(parents=True, exist_ok=True)
+
+    shape = None
+    n_valid = 0
+    try:
+        for idx, image in enumerate(_iter_frames(Path(args.input))):
+            if args.max_frames is not None and idx >= args.max_frames:
+                break
+            if shape is not None and image.data.shape != shape:
+                print(
+                    f"frame {idx}: shape {image.data.shape} != {shape} "
+                    "(recompiles the step program)",
+                    file=sys.stderr,
+                )
+            shape = image.data.shape
+            state, out = tracker.run_frame(state, image.data)
+            rec = _to_jsonable(out)
+            rec["frame"] = idx
+            rec.pop("rois", None)  # internal tracking state, not a result
+            print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
+            n_valid += int(np.asarray(out["valid"]).sum())
+            if annotate_dir is not None:
+                _annotate(image, out, annotate_dir / f"frame_{idx:05d}.jpg")
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
+    frames = idx + 1 if shape is not None else 0
+    print(f"{frames} frames, {n_valid} valid detections", file=sys.stderr)
+    return 0
+
+
+def cmd_info(_args) -> int:
+    import jax
+
+    from .assets import MISSING_MODELS, ModelMissingError, model_path
+
+    print(f"jax {jax.__version__}")
+    try:
+        devs = jax.devices()
+        print(f"devices: {[f'{d.platform}:{d.device_kind}' for d in devs]}")
+    except Exception as e:  # tunnel down / no backend
+        print(f"devices: unavailable ({type(e).__name__}: {e})")
+    print("models (search chain: $ZARU_TPU_MODELS, then bundled assets/onnx):")
+    for wrapper, blob in _KNOWN_MODELS:
+        try:
+            where = model_path(blob)
+            status = f"ok       {where}"
+        except ModelMissingError:
+            status = (
+                "MISSING  (absent upstream too; drop into assets/onnx/)"
+                if blob in MISSING_MODELS
+                else "MISSING"
+            )
+        print(f"  {wrapper:45s} {blob:35s} {status}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m zaru_tpu", description=__doc__.split("\n\n")[0]
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_track = sub.add_parser(
+        "track", help="run a fused pipeline over an offline input"
+    )
+    p_track.add_argument("input", help="video / GIF / image / image directory")
+    p_track.add_argument(
+        "--pipeline", default="face", choices=("face", "hand", "body")
+    )
+    p_track.add_argument(
+        "--iris", action="store_true", help="add iris refinement (face only)"
+    )
+    p_track.add_argument(
+        "--slots", type=int, default=4, help="max hands (hand pipeline)"
+    )
+    p_track.add_argument("--out", help="output JSONL path (default stdout)")
+    p_track.add_argument("--annotate", help="directory for annotated JPEGs")
+    p_track.add_argument("--max-frames", type=int, default=None)
+    p_track.set_defaults(fn=cmd_track)
+
+    p_info = sub.add_parser("info", help="runtime + model-asset inventory")
+    p_info.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+
+    # Some environments force-register an accelerator platform from
+    # sitecustomize, where the JAX_PLATFORMS env var alone is not honored;
+    # re-assert an explicit cpu request through the config API.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
