@@ -58,6 +58,28 @@ def test_track_directory_and_max_frames(tmp_path):
     assert [r["frame"] for r in recs] == [0, 1]
 
 
+def test_serve_two_streams(tmp_path):
+    out = tmp_path / "serve.jsonl"
+    rc = main(
+        [
+            "serve",
+            str(fixture_path("sad_linus_cropped.jpg")),
+            "--streams",
+            "2",
+            "--steps",
+            "2",
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [r["step"] for r in recs] == [0, 1]
+    # Both streams loop the same face photo: tracking holds every step.
+    assert all(r["valid"] == [True, True] for r in recs)
+    assert all(min(r["confidence"]) > 0.9 for r in recs)
+
+
 def test_track_rejects_iris_off_face():
     with pytest.raises(SystemExit):
         main(["track", "x.mp4", "--pipeline", "hand", "--iris"])

@@ -8,10 +8,16 @@ pipelines over offline inputs:
     python -m zaru_tpu info
     python -m zaru_tpu track INPUT [--pipeline face|hand|body] [--iris]
         [--out out.jsonl] [--annotate DIR] [--max-frames N] [--slots K]
+    python -m zaru_tpu serve INPUT... --streams N [--pipeline ...]
+        [--steps N] [--out out.jsonl] [--landmarks]
 
 ``track`` reads INPUT (video file, GIF/APNG animation, single image, or a
 directory of images), runs the chosen fused cascade one stream at a time,
 and writes one JSON line per frame (landmarks in image coordinates).
+``serve`` is the multi-stream serving loop: N streams fed round-robin
+from the INPUT sources (each looped when exhausted), decoded on a host
+thread pool, uploaded double-buffered (`pipeline.ingest.FrameUploader`),
+and stepped through the batch-gated cascade — one JSON line per step.
 ``info`` reports the runtime (JAX version, devices) and which model blobs
 resolve through the ``ZARU_TPU_MODELS`` search chain — the first thing to
 check when a wrapper raises ``ModelMissingError``.
@@ -160,6 +166,100 @@ def cmd_track(args) -> int:
     return 0
 
 
+def _looping_frames(path: Path):
+    """Like :func:`_iter_frames` but restarts the source when exhausted —
+    a serving stream never ends."""
+    while True:
+        yielded = False
+        for image in _iter_frames(path):
+            yielded = True
+            yield image
+        if not yielded:
+            raise SystemExit(f"source {path} produced no frames")
+
+
+def cmd_serve(args) -> int:
+    import concurrent.futures as cf
+    import os
+    import time
+
+    import numpy as np
+
+    from .pipeline.ingest import FrameUploader
+
+    tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
+    sources = [
+        _looping_frames(Path(args.inputs[i % len(args.inputs)]))
+        for i in range(args.streams)
+    ]
+    pool = cf.ThreadPoolExecutor(
+        max_workers=max(1, min(args.streams, os.cpu_count() or 1))
+    )
+
+    # One flat future per stream — NEVER a nested pool.map inside a
+    # submitted function: with few workers (os.cpu_count() can be 1 in
+    # containers) the outer task would wait forever on inner tasks that
+    # no free worker can run. cv2/PIL release the GIL during decode, so
+    # streams decode in parallel and overlap device compute either way.
+    def submit_decodes():
+        return [
+            pool.submit(lambda s=s: np.asarray(next(s).to_numpy()))
+            for s in sources
+        ]
+
+    first = [f.result() for f in submit_decodes()]
+    shape = first[0].shape
+    for i, f in enumerate(first):
+        if f.shape != shape:
+            raise SystemExit(
+                f"stream {i} shape {f.shape} != stream 0 shape {shape}; "
+                "serving batches require one resolution"
+            )
+    uploader = FrameUploader(batch=args.streams, shape=shape)
+    state = tracker.init_state(batch=args.streams)
+    sink = open(args.out, "w") if args.out else sys.stdout
+
+    report_keys = ("confidence", "presence", "pose_flag")
+    t0 = time.perf_counter()
+    done_frames = 0
+    try:
+        for step in range(args.steps):
+            for slot, frame in enumerate(first):
+                uploader.stage(slot, frame)
+            frames_dev = uploader.flush()
+            # Decode the NEXT step's frames while the device runs this one.
+            decode_futs = submit_decodes()
+            state, out = tracker.run_frames_gated(state, frames_dev)
+            rec = {"step": step, "valid": np.asarray(out["valid"]).tolist()}
+            for key in report_keys:
+                if key in out:
+                    rec[key] = np.round(np.asarray(out[key]), 4).tolist()
+            if args.landmarks:
+                rec["landmarks"] = np.asarray(out["landmarks"]).tolist()
+            print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
+            done_frames += args.streams
+            if (step + 1) % args.report_every == 0:
+                dt = time.perf_counter() - t0
+                print(
+                    f"step {step + 1}/{args.steps}: "
+                    f"{done_frames / dt:.6g} frames/s e2e "
+                    "(incl. host decode + upload)",
+                    file=sys.stderr,
+                )
+            first = [f.result() for f in decode_futs]
+    finally:
+        pool.shutdown(wait=False)
+        if sink is not sys.stdout:
+            sink.close()
+    dt = time.perf_counter() - t0
+    print(
+        f"served {done_frames} frames over {args.streams} streams in "
+        f"{dt:.2f}s = {done_frames / dt:.6g} frames/s end-to-end",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -209,6 +309,28 @@ def main(argv=None) -> int:
     p_track.add_argument("--annotate", help="directory for annotated JPEGs")
     p_track.add_argument("--max-frames", type=int, default=None)
     p_track.set_defaults(fn=cmd_track)
+
+    p_serve = sub.add_parser(
+        "serve", help="multi-stream serving loop (batch-gated cascade)"
+    )
+    p_serve.add_argument(
+        "inputs", nargs="+",
+        help="sources assigned to streams round-robin, each looped",
+    )
+    p_serve.add_argument("--streams", type=int, default=8)
+    p_serve.add_argument(
+        "--pipeline", default="face", choices=("face", "hand", "body")
+    )
+    p_serve.add_argument("--iris", action="store_true")
+    p_serve.add_argument("--slots", type=int, default=4)
+    p_serve.add_argument("--steps", type=int, default=100)
+    p_serve.add_argument("--out", help="output JSONL path (default stdout)")
+    p_serve.add_argument(
+        "--landmarks", action="store_true",
+        help="include landmark arrays in the JSONL (large)",
+    )
+    p_serve.add_argument("--report-every", type=int, default=10)
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_info = sub.add_parser("info", help="runtime + model-asset inventory")
     p_info.set_defaults(fn=cmd_info)
