@@ -49,6 +49,15 @@ def main():
           f"scan={SCAN_STEPS}, windows={WINDOWS}", file=sys.stderr)
 
     tracker = MultiFaceTracker(max_faces=slots, loss_threshold=0.0)
+    if os.environ.get("ZARU_TPU_MFB_ROLLED"):
+        # A/B: the hand cascade's rolled full-band config (valid here too:
+        # FaceMeshV1 views are square). sampler_opts is read at trace
+        # time, so overriding before the first jit call is effective.
+        tracker.sampler_opts = {
+            "prescale_m": 256, "band_p": 256, "col_split": 1,
+            "square_views": True,
+        }
+        print("sampler: rolled full-band M=256", file=sys.stderr)
     params = tracker.params
     frame_dev = jax.device_put(jnp.asarray(frame))
     frames = jax.jit(
