@@ -9,7 +9,10 @@ content-dependent) with `loss_threshold=0` keeping them alive, so the
 gated step measures the steady landmark state at production cadence off
 the detect frame.
 
-Usage: python examples/multifacebench.py [batch [slots]]   (default 64 4)
+Usage: python examples/multifacebench.py [batch [slots [arms]]]
+(default 64 4; ``arms`` = comma-separated subset of
+gated,sample-slots,lm-cnn,track-slots — the isolation arms bisect the
+per-face cost the same way handbench does for hands)
 
 Timing honesty: every window forces a real device→host readback
 (CLAUDE.md: block_until_ready does not block through the tunnel).
@@ -89,25 +92,79 @@ def main():
         frame=jnp.ones((batch,), jnp.int32),  # off the detect cadence
     )
 
-    @jax.jit
-    def run(frames, st):
-        def body(carry, _):
-            st2, out = tracker.step_batch(params, carry, frames)
-            return st2, jnp.sum(out["confidence"])
+    rois = state["rois"]
 
-        _c, sums = lax.scan(body, st, jnp.arange(SCAN_STEPS))
-        return jnp.sum(sums)
+    def scan_of(fn, carry0):
+        @jax.jit
+        def run(frames, carry0):
+            def body(carry, _):
+                outv, carry = fn(frames, carry)
+                return carry, jnp.sum(outv)
 
-    t0 = time.perf_counter()
-    float(run(frames, state))
-    print(f"compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    best = float("inf")
-    for _ in range(WINDOWS):
+            _c, sums = lax.scan(body, carry0, jnp.arange(SCAN_STEPS))
+            return jnp.sum(sums)
+
+        return lambda: float(run(frames, carry0))
+
+    lm_cnn = tracker.lm_cnn
+
+    def gated(frames, st):
+        st, out = tracker.step_batch(params, st, frames)
+        return out["confidence"], st
+
+    def sample_slots(frames, rrs):
+        xs = lm_cnn.sample_views_fast(frames, rrs, **tracker.sampler_opts)
+        s = jnp.sum(xs)
+        return xs, rrs + 1e-30 * s
+
+    res = lm_cnn.input_resolution()
+    from zaru_tpu.pipeline import _ops
+
+    view_rects = jax.jit(
+        jax.vmap(jax.vmap(lambda r: _ops.aspect_view_rect(r, res)))
+    )(rois)
+    xs0 = jax.jit(
+        lambda f: lm_cnn.sample_views_fast(f, view_rects, **tracker.sampler_opts)
+    )(frames)
+    np.asarray(xs0[0, 0, 0, 0])
+
+    def lm_cnn_only(frames, xs):
+        outs = jax.vmap(
+            jax.vmap(lambda t: lm_cnn.apply_tensor_hwc(params["lm"], t))
+        )(xs)
+        s = jnp.sum(outs[0])
+        return outs[0], xs + 1e-30 * s
+
+    def track_slots(frames, rrs):
+        new_rois, conf, _extras, _pos = tracker._track_slots_batch(
+            params, frames, rrs
+        )
+        return conf, rrs + 1e-30 * jnp.sum(conf)
+
+    paths = {
+        "gated": scan_of(gated, state),
+        "sample-slots": scan_of(sample_slots, view_rects),
+        "lm-cnn": scan_of(lm_cnn_only, xs0),
+        "track-slots": scan_of(track_slots, rois),
+    }
+    if len(sys.argv) > 3:
+        wanted = set(sys.argv[3].split(","))
+        unknown = wanted - set(paths)
+        if unknown:
+            sys.exit(f"unknown arms {sorted(unknown)}; have {sorted(paths)}")
+        paths = {k: v for k, v in paths.items() if k in wanted}
+    for name, run in paths.items():
         t0 = time.perf_counter()
-        float(run(frames, state))
-        best = min(best, (time.perf_counter() - t0) / SCAN_STEPS)
-    print(f"batch {batch:3d}x{slots}  gated {best*1e3:8.2f} ms/step "
-          f"({batch / best:.0f} fps, {batch * slots / best:.0f} faces/s)")
+        run()  # compile
+        print(f"[{name}] compile+first: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        best = float("inf")
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, (time.perf_counter() - t0) / SCAN_STEPS)
+        print(f"batch {batch:3d}x{slots}  {name:13s} {best*1e3:8.2f} ms/step "
+              f"({batch / best:.0f} fps, {batch * slots / best:.0f} faces/s)")
 
 
 if __name__ == "__main__":

@@ -403,9 +403,17 @@ class FaceTracker:
             square_views=True,  # aspect-fit square 64x64 eye views
         )
         xs = xs.at[:, 1].set(xs[:, 1, :, ::-1, :])           # mirror right eyes
-        outputs = jax.vmap(
-            jax.vmap(lambda t: self.eye_cnn.apply_tensor_hwc(params["eye"], t))
-        )(xs)
+        # Flatten [B,2] -> [2B] around the CNN: nested-vmapped convs keep
+        # two batch dims and lower ~4.5x slower than one flat batch on
+        # XLA-TPU (see multi_object._track_slots_batch); reshapes are
+        # free and bit-identical.
+        b = xs.shape[0]
+        outs_flat = jax.vmap(
+            lambda t: self.eye_cnn.apply_tensor_hwc(params["eye"], t)
+        )(xs.reshape((2 * b,) + xs.shape[2:]))
+        outputs = jax.tree_util.tree_map(
+            lambda o: o.reshape((b, 2) + o.shape[1:]), outs_flat
+        )
         flips = jnp.broadcast_to(jnp.asarray([False, True]), rects.shape[:2])
         return jax.vmap(jax.vmap(self._iris_decode))(outputs, rects, flips)
 

@@ -216,9 +216,18 @@ class MultiObjectTracker:
             xs = self.lm_cnn.sample_views_fast(
                 frames, view_rects, **self.sampler_opts
             )  # [B,S,h,w,3]
-            outputs = jax.vmap(
-                jax.vmap(lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t))
-            )(xs)
+            # Flatten [B,S] -> [B*S] around the CNN: a nested vmap keeps
+            # two batch dims through every conv, which XLA-TPU lowers
+            # ~4.5x slower than one flat batch (33.8 vs 7.5 ms for 256
+            # FaceMesh-192 inferences, measured 2026-08-18). The
+            # reshapes are free and the outputs bit-identical.
+            b, s = xs.shape[:2]
+            outs_flat = jax.vmap(
+                lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t)
+            )(xs.reshape((b * s,) + xs.shape[2:]))
+            outputs = jax.tree_util.tree_map(
+                lambda o: o.reshape((b, s) + o.shape[1:]), outs_flat
+            )
         else:
             outputs = jax.vmap(
                 lambda f, vrs: jax.vmap(
