@@ -127,9 +127,14 @@ def main():
     jax.block_until_ready(xs0)
 
     def lm_cnn_only(frames, xs):
+        # Flat [B*S] batch — matches the production path
+        # (multi_object._track_slots_batch); the earlier nested-vmap form
+        # measured 13.7 ms here and 33.8 ms for FaceMesh (BENCHMARKS
+        # "Nested vmap over CNNs").
+        b, s_ = xs.shape[:2]
         outs = jax.vmap(
-            jax.vmap(lambda t: lm_cnn.apply_tensor_hwc(params["lm"], t))
-        )(xs)
+            lambda t: lm_cnn.apply_tensor_hwc(params["lm"], t)
+        )(xs.reshape((b * s_,) + xs.shape[2:]))
         s = jnp.sum(outs[0])
         return outs[0], xs + 1e-30 * s
 
