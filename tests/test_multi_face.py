@@ -64,3 +64,32 @@ def test_loss_and_reacquire(tracker, sad_linus_full):
     assert not np.asarray(out["valid"]).any()
     state, out = tracker.run_frame(state, frame)
     assert np.asarray(out["valid"]).any()
+
+
+def test_slot_cnn_lowers_flat_batch():
+    """Regression guard for the nested-vmap pessimization (BENCHMARKS
+    "Nested vmap over CNNs"): the slot landmark CNN must see ONE flat
+    [B*S] batch — its first conv consumes a tensor whose leading dim is
+    B*S, not nested [B, S, ...] operands bracketed by per-op reshapes."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from zaru_tpu.pipeline import MultiFaceTracker
+
+    tracker = MultiFaceTracker(max_faces=2)
+    frames = jnp.zeros((4, 96, 128, 4), jnp.uint8)
+    rois = jnp.tile(
+        jnp.asarray([[40.0, 40.0, 30.0, 30.0, 0.0]], jnp.float32), (4, 2, 1)
+    )
+    txt = (
+        jax.jit(tracker._track_slots_batch)
+        .lower(tracker.params, frames, rois)
+        .as_text()
+    )
+    # FaceMeshV1's first conv: 3 input channels at its 192x192 input,
+    # batched flat over 4 streams x 2 slots = 8.
+    assert re.search(r"stablehlo\.convolution.*tensor<8x3x192x192xf32>", txt), (
+        "slot CNN is no longer applied as one flat [B*S] batch"
+    )

@@ -133,3 +133,33 @@ def test_graft_entry_single():
     out = jax.block_until_ready(jax.jit(fn)(*args))
     state, outputs = out
     assert outputs["landmarks"].shape == (468, 3)
+
+
+def test_sharded_slot_tracker(mesh, sad_linus_full):
+    """ShardedTracker generalizes to the slot engines: a MultiFaceTracker
+    shards its streams over the mesh, each chip running its shard's slots,
+    and agrees with the unsharded gated tracker."""
+    from zaru_tpu.parallel import ShardedTracker
+    from zaru_tpu.pipeline import MultiFaceTracker
+
+    tracker = MultiFaceTracker(max_faces=2)
+    sharded = ShardedTracker(tracker, mesh)
+    batch = 8
+    frames_np = jnp.stack([sad_linus_full.data] * batch)
+    state = sharded.init_state(batch)
+    frames = sharded.shard_frames(frames_np)
+    for _ in range(2):
+        state, out = sharded.step_gated(state, frames)
+    v = np.asarray(out["valid"])
+    assert v.shape == (batch, 2)
+    assert bool(v[:, 0].all())  # slot 0 tracks the one face in every stream
+
+    ref_state = tracker.init_state(batch=batch)
+    for _ in range(2):
+        ref_state, ref_out = tracker.run_frames_gated(ref_state, frames_np)
+    np.testing.assert_array_equal(v, np.asarray(ref_out["valid"]))
+    np.testing.assert_allclose(
+        np.asarray(out["landmarks"])[:, 0],
+        np.asarray(ref_out["landmarks"])[:, 0],
+        atol=5e-2,
+    )

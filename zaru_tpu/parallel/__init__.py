@@ -8,6 +8,6 @@ the serving path (collectives appear only in fine-tuning, where gradient
 all-reduce rides ICI).
 """
 
-from .mesh import ShardedFaceTracker, stream_mesh
+from .mesh import ShardedFaceTracker, ShardedTracker, stream_mesh
 
-__all__ = ["ShardedFaceTracker", "stream_mesh"]
+__all__ = ["ShardedFaceTracker", "ShardedTracker", "stream_mesh"]

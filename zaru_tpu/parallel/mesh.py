@@ -8,9 +8,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..pipeline.face_cascade import FaceTracker
-
-__all__ = ["stream_mesh", "ShardedFaceTracker"]
+__all__ = ["stream_mesh", "ShardedTracker", "ShardedFaceTracker"]
 
 
 def stream_mesh(devices=None, axis: str = "stream") -> Mesh:
@@ -19,16 +17,21 @@ def stream_mesh(devices=None, axis: str = "stream") -> Mesh:
     return Mesh(devices.reshape(-1), (axis,))
 
 
-class ShardedFaceTracker:
-    """The fused face cascade, batched over streams and sharded over chips.
+class ShardedTracker:
+    """A fused tracker, batched over streams and sharded over chips.
 
-    Per-stream state and frames live sharded on the ``stream`` axis; model
-    params are replicated. The serving path needs NO collectives — each chip
-    runs its shard of streams independently over ICI-free compute, which is
-    the optimal layout for an embarrassingly parallel fleet.
+    Works with any of the fused pipelines — ``FaceTracker`` and the slot
+    engines (``MultiHandTracker``, ``MultiFaceTracker``, ``BodyTracker``) —
+    since they share the step protocol (``step(params, state, frame)``,
+    ``step_batch(params, state, frames)``, ``init_state(batch=B)``, state
+    and output pytrees with the stream axis leading). Per-stream state and
+    frames live sharded on the ``stream`` axis; model params are
+    replicated. The serving path needs NO collectives — each chip runs its
+    shard of streams independently over ICI-free compute, which is the
+    optimal layout for an embarrassingly parallel fleet.
     """
 
-    def __init__(self, tracker: FaceTracker, mesh: Mesh, axis: str = "stream"):
+    def __init__(self, tracker, mesh: Mesh, axis: str = "stream"):
         self.tracker = tracker
         self.mesh = mesh
         self.axis = axis
@@ -100,3 +103,7 @@ class ShardedFaceTracker:
         """Sharded batch-gated step with MXU fast sampling — the fastest
         multi-chip serving path (per-shard gate, no collectives)."""
         return self._step_gated(self.params, state, frames)
+
+
+# The original face-specific name; any fused tracker works (see docstring).
+ShardedFaceTracker = ShardedTracker
