@@ -554,3 +554,41 @@ def test_xroll_requires_resident_and_headroom():
             rotated_sample_fast(*args, interpret=True, xroll=True, **kw)
         )
         np.testing.assert_array_equal(out, base)
+
+
+def test_view_pack_bitwise_and_fallback():
+    """view_pack runs N/pack grid steps with identical per-view math —
+    packed results must be bitwise-equal, and odd view counts / non-VMEM
+    modes must silently fall back to pack=1 (still exact)."""
+    H, W = 720, 1280
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 4))
+    rrects = jnp.asarray(
+        np.asarray(
+            [[640, 360, 300, 300, 0.3], [400, 300, 150, 150, -1.2],
+             [700, 380, 420, 420, 2.0], [640, 360, 80, 80, 0.0]],
+            np.float32,
+        )
+    )
+    args = (imgs, rrects, 192, 192, 0.0, 255.0)
+    base = np.asarray(rotated_sample_fast(*args, interpret=True))
+    for pack in (2, 4):
+        got = np.asarray(
+            rotated_sample_fast(*args, interpret=True, view_pack=pack)
+        )
+        np.testing.assert_array_equal(got, base)
+    # Rolled full-band mode packs too.
+    kw = dict(square_views=True, prescale_m=256, band_p=256, col_split=1)
+    base_r = np.asarray(rotated_sample_fast(*args, interpret=True, **kw))
+    got_r = np.asarray(
+        rotated_sample_fast(*args, interpret=True, view_pack=4, **kw)
+    )
+    np.testing.assert_array_equal(got_r, base_r)
+    # Odd N: silent fallback to pack=1.
+    base3 = np.asarray(rotated_sample_fast(imgs[:3], rrects[:3], 192, 192,
+                                           0.0, 255.0, interpret=True))
+    got3 = np.asarray(
+        rotated_sample_fast(imgs[:3], rrects[:3], 192, 192, 0.0, 255.0,
+                            interpret=True, view_pack=2)
+    )
+    np.testing.assert_array_equal(got3, base3)

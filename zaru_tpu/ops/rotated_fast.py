@@ -496,13 +496,34 @@ def _unpack3_i8(band_u32):
 def _rotate_kernel(
     coef_ref, planar_ref, out_ref, band, sem, *, M, P, XW, out_w, out_h,
     cols, rows_pb, int8_mxu, hoist_band, rolled=False, fuse3=None,
-    resident=False, xroll=False,
+    resident=False, xroll=False, view_pack=1,
 ):
-    b = pl.program_id(0)
     blk = pl.program_id(1)
     cb = pl.program_id(2)
     lanes = rows_pb * cols
 
+    # One or more views per grid step (``view_pack``): packing views
+    # amortizes the per-step fixed cost — the measured kernel limiter
+    # (BENCHMARKS "block count is the kernel's cost driver") — without
+    # growing the one-hot contraction. ``pv`` indexes the delivered
+    # VMEM blocks (planar/out); ``b`` stays the global view index
+    # (SMEM coefs, ANY-space planar in the non-resident mode, which
+    # requires view_pack == 1 — it shares one band/sem scratch).
+    for pv in range(view_pack):
+        _rotate_one_view(
+            coef_ref, planar_ref, out_ref, band, sem,
+            pl.program_id(0) * view_pack + pv, pv, blk, cb, lanes,
+            M=M, P=P, XW=XW, out_w=out_w, out_h=out_h, cols=cols,
+            rows_pb=rows_pb, int8_mxu=int8_mxu, hoist_band=hoist_band,
+            rolled=rolled, fuse3=fuse3, resident=resident, xroll=xroll,
+        )
+
+
+def _rotate_one_view(
+    coef_ref, planar_ref, out_ref, band, sem, b, pv, blk, cb, lanes, *,
+    M, P, XW, out_w, out_h, cols, rows_pb, int8_mxu, hoist_band,
+    rolled, fuse3, resident, xroll,
+):
     w = coef_ref[b, 0]
     h = coef_ref[b, 1]
     cth = coef_ref[b, 2]
@@ -619,11 +640,11 @@ def _rotate_kernel(
         x128 = jnp.clip((xstart // 128) * 128, 0, M - (XW + 128))
         x128 = pl.multiple_of(x128, 128)
         off = xstart - x128  # in [0, 128]
-        win = planar_ref[0, pl.ds(start, P), pl.ds(x128, XW + 128)]
+        win = planar_ref[pv, pl.ds(start, P), pl.ds(x128, XW + 128)]
         win = pltpu.roll(win, (XW + 128) - off, axis=1)[:, :XW]
         band = win  # [P, XW] u32
     elif hoist_band:
-        band = planar_ref[0]  # [M, M] u32 for view b, resident in VMEM
+        band = planar_ref[pv]  # [M, M] u32 for view b, resident in VMEM
     elif resident and xroll:
         # Unaligned x window from the resident intermediate: 128-aligned
         # pre-slice of width XW + 128, ONE dynamic lane roll brings
@@ -634,10 +655,10 @@ def _rotate_kernel(
         x128 = jnp.clip((xstart // 128) * 128, 0, M - (XW + 128))
         x128 = pl.multiple_of(x128, 128)
         off = xstart - x128  # in [0, 128]
-        win = planar_ref[0, pl.ds(start, P), pl.ds(x128, XW + 128)]
+        win = planar_ref[pv, pl.ds(start, P), pl.ds(x128, XW + 128)]
         band = pltpu.roll(win, (XW + 128) - off, axis=1)[:, :XW]
     elif resident:
-        band = planar_ref[0, pl.ds(start, P), pl.ds(xstart, XW)]
+        band = planar_ref[pv, pl.ds(start, P), pl.ds(xstart, XW)]
     else:
         cp.wait()
         band = band[:]
@@ -701,7 +722,7 @@ def _rotate_kernel(
                 )
                 for ch_bf in chans_bf
             ])
-    out_ref[0, 0, 0, :, :] = out
+    out_ref[pv, 0, 0, :, :] = out
 
 
 @functools.partial(
@@ -710,6 +731,7 @@ def _rotate_kernel(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
         "pallas_prescale", "fuse3", "resident", "xroll", "prescale_dbuf",
+        "view_pack",
     ),
 )
 def rotated_sample_fast(
@@ -733,6 +755,7 @@ def rotated_sample_fast(
     resident: bool | None = None,
     xroll: bool | None = None,
     prescale_dbuf: bool | None = None,
+    view_pack: int | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -799,6 +822,13 @@ def rotated_sample_fast(
       the knob exists for A/B timing — prescale isolation measured
       3.99 -> 2.95 ms/step at batch 128 / stride 2
       (examples/r3bench6.py).
+    - ``view_pack``: rotate-kernel views per grid step. Packing views
+      amortizes the per-step fixed cost (the measured kernel limiter)
+      without changing per-view geometry or the one-hot contraction —
+      bit-identical results. Silently falls back to 1 unless the
+      intermediate is VMEM-delivered (resident / full-band modes), the
+      view count divides evenly, and the packed blocks stay
+      VMEM-friendly (pack·M²·4 B <= 4 MB). Default 1.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -1045,18 +1075,31 @@ def rotated_sample_fast(
     # VMEM comfortably (<= 2 MB, i.e. M <= 724).
     resident = bool(resident) and not hoist_band
     xroll = xroll and resident
+    # View packing (opt-in): run ``pack`` views per grid step to amortize
+    # the per-step fixed cost — the measured kernel limiter — without
+    # changing per-view geometry or the one-hot contraction. Needs the
+    # VMEM-delivered intermediate (resident or hoisted full band; the
+    # non-resident mode shares one band/sem scratch per step), an evenly
+    # divisible view count, and packed blocks that stay VMEM-friendly.
+    pack = view_pack or 1
+    if pack > 1 and (
+        not (hoist_band or resident)
+        or N % pack
+        or pack * M * M * 4 > 4 * 2**20
+    ):
+        pack = 1
     kernel = functools.partial(
         _rotate_kernel, M=M, P=P, XW=XW, out_w=out_w, out_h=out_h,
         cols=cols, rows_pb=rows_pb, int8_mxu=int8_mxu,
         hoist_band=hoist_band, rolled=rolled, fuse3=fuse3,
-        resident=resident, xroll=xroll,
+        resident=resident, xroll=xroll, view_pack=pack,
     )
     if hoist_band or resident:
         kern = lambda coef_ref, planar_ref, out_ref: kernel(
             coef_ref, planar_ref, out_ref, None, None
         )
         planar_spec = pl.BlockSpec(
-            (1, M, M), lambda b, blk, cb: (b, 0, 0),
+            (pack, M, M), lambda b, blk, cb: (b, 0, 0),
             memory_space=pltpu.VMEM,
         )
         scratch = []
@@ -1069,13 +1112,13 @@ def rotated_sample_fast(
         ]
     out = pl.pallas_call(
         kern,
-        grid=(N, n_blocks, col_split),
+        grid=(N // pack, n_blocks, col_split),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
             planar_spec,  # planar [N, M, M] u32
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),
+            (pack, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
