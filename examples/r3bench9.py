@@ -70,7 +70,7 @@ def main():
         for theta in (0.0, 1.0):
             rr = rects(theta)
             base = jax.jit(
-                lambda f, r: rotated_sample_fast(f, r, 192, 192)
+                lambda f, r: rotated_sample_fast(f, r, 192, 192, view_pack=1)
             )(frames, rr)
             base_np = np.asarray(base)
             for pack in (2, 4):
@@ -89,7 +89,7 @@ def main():
         rrh = rects(0.7, size=300.0)
         kw = dict(square_views=True, prescale_m=256, band_p=256, col_split=1)
         base = np.asarray(jax.jit(
-            lambda f, r: rotated_sample_fast(f, r, 224, 224, **kw)
+            lambda f, r: rotated_sample_fast(f, r, 224, 224, view_pack=1, **kw)
         )(frames, rrh))
         got = np.asarray(jax.jit(
             lambda f, r: rotated_sample_fast(f, r, 224, 224, view_pack=4, **kw)

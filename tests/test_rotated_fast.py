@@ -571,15 +571,18 @@ def test_view_pack_bitwise_and_fallback():
         )
     )
     args = (imgs, rrects, 192, 192, 0.0, 255.0)
-    base = np.asarray(rotated_sample_fast(*args, interpret=True))
-    for pack in (2, 4):
+    base = np.asarray(rotated_sample_fast(*args, interpret=True, view_pack=1))
+    # Default (None) now auto-packs; must still be bitwise-equal to pack=1.
+    for pack in (2, 4, None):
         got = np.asarray(
             rotated_sample_fast(*args, interpret=True, view_pack=pack)
         )
         np.testing.assert_array_equal(got, base)
     # Rolled full-band mode packs too.
     kw = dict(square_views=True, prescale_m=256, band_p=256, col_split=1)
-    base_r = np.asarray(rotated_sample_fast(*args, interpret=True, **kw))
+    base_r = np.asarray(
+        rotated_sample_fast(*args, interpret=True, view_pack=1, **kw)
+    )
     got_r = np.asarray(
         rotated_sample_fast(*args, interpret=True, view_pack=4, **kw)
     )
