@@ -3,9 +3,15 @@
 1080p streams, frames resident in HBM.
 
 Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "value_median": N, "unit": ..., "vs_baseline": N}
 Diagnostics go to stderr. Baseline target: ≥2,000 1080p frames/sec/chip on
 TPU v5e (BASELINE.json).
+
+This file is orchestration POLICY only (budgets, retries, wedge handling,
+reporting). The traced measurement programs live in
+zaru_tpu/bench_programs.py so that policy edits here do NOT invalidate
+their prewarmed persistent-cache entries (the cache keys on the traced
+functions' source locations — CLAUDE.md "Environment gotchas").
 
 Methodology
 -----------
@@ -13,35 +19,46 @@ Measured loop = honest production cadence: a full detection pass every 9
 frames (the reference's 300 ms redetect at 30 fps, hand/tracking.rs:41),
 landmark+smooth every frame, over multi-step ``lax.scan`` dispatches.
 Configurations: batch 384 (the headline, since the metric is frames/sec/
-chip: the r3bench8 batch sweep measured 9.7k/11.2k/12.9k/12.7k fps at
+chip: the round-3 batch sweep measured 9.7k/11.2k/12.9k/12.7k fps at
 128/256/384/512 — the landmark CNN's per-layer latency floor amortizes
 with batch until HBM pressure bites at 512, and 1024 OOMs; 384 is also
 the largest batch whose ~30 ms step keeps a 30 fps stream real-time) and
 batch 8 (BASELINE config 5: "8 batched 1080p streams", also yields the
-p50 step latency).
+p50 step latency — reported both tunnel-inclusive and as an on-device
+estimate, since ~32 ms of the single-step p50 on this box is the remote
+tunnel's round trip, not compute).
 
 Timing honesty: through this tunnel ``jax.block_until_ready`` returns
 before execution finishes (async dispatch), so every window forces a real
 device→host readback via ``np.asarray``. (Round 1's ~1.58k fps "throttle
 cap" was the true sustained rate of the gather-bound sampler, and its
 "unthrottled 1M fps windows" were empty-queue dispatch illusions —
-BENCHMARKS.md.) Robustness on the shared, occasionally-wedging chip:
+BENCHMARKS.md.) The headline value is the best window (the least-contended
+view of the chip); the median + spread over ALL windows are reported
+alongside so cross-round deltas smaller than the ±20-35% contention
+variance are provable from the artifact. Robustness on the shared,
+occasionally-wedging chip:
 
 - a persistent XLA compilation cache (.jax_cache/, prewarmed during the
-  build session) makes the compile step nearly free;
+  build session via ``python bench.py --prewarm``) makes the compile step
+  nearly free; both configurations' scan programs and the gated
+  single-step were measured HITTING the cache cross-process once
+  prewarmed (2026-08-18 double-prewarm A/B: batch-8 scan 8.5 s warm vs
+  150-500 s cold; gated step 44 s → 9.6 s on CPU, bit-identical HLO);
 - each configuration runs in a killable subprocess that measures short
   scan-amortized windows back-to-back, streams every window result (so a
   wedged/killed child still contributes its best-so-far), and exits once
   a window comfortably beats the healthy level OR the best-so-far
   plateaus (contention is persistent load, not a quota — idling between
   attempts only wastes budget);
-- the parent runs the batch-384 headline first under a HARD cap (its
-  programs reliably hit the compile cache), then hands batch-8 — whose
-  fps and p50 are required artifact contents but whose scan program
-  persistently misses the remote compile cache (150-500 s) — the whole
-  remaining wall budget (ZARU_BENCH_BUDGET, default 1140 s), retries the
-  headline with any leftover, answers SIGTERM/SIGINT with the
-  best-so-far JSON line, and always prints the JSON line exactly once.
+- the parent runs the batch-384 headline first under a HARD cap, then
+  hands batch-8 — whose fps and p50 are required artifact contents —
+  the whole remaining wall budget (ZARU_BENCH_BUDGET, default 1140 s),
+  retries the headline with any leftover, answers SIGTERM/SIGINT with
+  the best-so-far JSON line, and always prints the JSON line exactly
+  once. The generous batch-8 slice also covers the worst case where a
+  driver run starts with a cold or stale cache (a fresh remote compile
+  has run 70-900 s).
 """
 
 from __future__ import annotations
@@ -64,27 +81,23 @@ SCAN_STEPS = int(os.environ.get("ZARU_BENCH_SCAN", "16"))
 BUDGET = float(os.environ.get("ZARU_BENCH_BUDGET", "1140"))
 DETECT_EVERY = 9
 
+
 # Early-exit level: a window this fast comfortably beats the 2,000 fps
 # target; keep retrying below it in case another tenant is contending the
-# shared chip. (Round-1's "quota/throttle" model was a measurement
-# artifact: block_until_ready does not block through the tunnel, so idle
-# "refills" were just the async queue draining. np.asarray readbacks now
-# force true completion.) There is NO quota — a window below this level
-# means shared-chip contention, and the right response is to keep
-# measuring until the windows plateau, not to idle (round 2's cooldown
-# ladder slept ~7 min chasing refills that don't exist and starved the
-# batch-8 child; VERDICT r2 missing #1).
+# shared chip. (There is NO quota — block_until_ready does not block
+# through the tunnel, so round-1's idle "refills" were just the async
+# queue draining; np.asarray readbacks force true completion. A window
+# below this level means shared-chip contention, and the right response
+# is to keep measuring until the windows plateau, not to idle.)
 def quiet_fps(batch: int) -> float:
-    # batch 8 is dominated by batch-independent per-step cost. Headline
-    # batch: after the round-3 sampler rework (Pallas crop-resident
-    # prescale with stride-1/2/3 crop classes + double-buffered crop
-    # DMA + banded x-roll windows) the production cadence measured
-    # 9,891 fps quiet at batch 128 (r3bench6 re-run, 2026-08-18, post
-    # rpb=64 retraction) and 12,927 at batch 384 (r3bench8 batch sweep,
-    # same day); contended windows ran 7.3-8.2k at 128. Early-exit sits
-    # just under the quiet rate so a healthy run records the real
-    # headline; contended runs fall through to the plateau rule instead
-    # of stopping early.
+    # Batch 8 is dominated by batch-independent per-step cost. Headline
+    # batch: the round-3 sampler (Pallas crop-resident prescale,
+    # stride-1/2/3 crop classes, double-buffered crop DMA, banded x-roll
+    # windows) measured 9,891 fps quiet at batch 128 and 12,927 at batch
+    # 384; round 4's view_pack auto default raises the face sampler
+    # further. Early-exit sits just under the quiet rate so a healthy
+    # run records the real headline; contended runs fall through to the
+    # plateau rule instead of stopping early.
     if batch >= 300:
         return 12500.0
     return 9600.0 if batch >= 64 else 1050.0
@@ -99,47 +112,27 @@ def log(*a):
 # --------------------------------------------------------------------------
 
 
-def make_1080p_frame():
-    """A realistic 1920×1080 RGBA frame: the fixture photo upscaled."""
-    import cv2
-    import numpy as np
-
-    from zaru_tpu.assets import fixture_path
-    from zaru_tpu.image import decode as idec
-
-    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
-    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
-    return np.concatenate(
-        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
-    )
-
-
 def child_main(batch: int, budget: float, measure_p50: bool) -> None:
     deadline = time.monotonic() + budget
     import numpy as np
 
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+    from zaru_tpu import bench_programs as bp
     from zaru_tpu.pipeline import FaceTracker
 
     dev = jax.devices()[0]
     log(f"[B={batch}] on {dev.platform} ({dev.device_kind})")
 
     tracker = FaceTracker()
-    frame = make_1080p_frame()
-    # Upload ONE frame and tile on device: through this environment's
-    # tunnel, a [128,1080,1920,4] host upload alone takes minutes.
+    frame = bp.make_1080p_frame()
     t0 = time.perf_counter()
-    frame_dev = jax.device_put(jnp.asarray(frame))
-    frames = jax.jit(
-        lambda f: jnp.broadcast_to(f[None], (batch, *f.shape)) + 0
-    )(frame_dev)
+    frame_dev = jax.device_put(frame)
+    frames = bp.tile_frames(frame_dev, batch)
     jax.block_until_ready(frames)
     log(f"[B={batch}] frame upload+tile: {time.perf_counter() - t0:.1f}s")
     # Heartbeat: the upload + readback just proved the tunnel is ALIVE.
@@ -153,27 +146,10 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
     print("PARTIAL " + json.dumps({"phase": "upload_done"}), flush=True)
     state = tracker.init_state(batch=batch)
 
-    @jax.jit
-    def run_scan(params, state, frames):
-        def body(st, t):
-            # Production cadence: forced detection every DETECT_EVERY
-            # frames, batch-gated landmark+smooth otherwise — all on the
-            # MXU-sampled fast path (ops/rotated_fast.py).
-            st, out = tracker.step_batch(
-                params, st, frames, t % DETECT_EVERY == 0
-            )
-            return st, out["confidence"]
-
-        return lax.scan(body, state, jnp.arange(SCAN_STEPS))
+    run_scan = bp.build_cascade_scan(tracker, SCAN_STEPS, DETECT_EVERY)
 
     # Setup = the measured scan program itself: its t=0 forced detection
     # establishes tracking, so no separate single-step program is needed.
-    # (The standalone gated step consistently MISSES the persistent
-    # compile cache across processes — 160-840 s per bench run through
-    # the remote compile service — while the scan program reliably hits;
-    # keep the unreliable compile off the critical path. report_p50
-    # still compiles the gated step, but only after the fps windows are
-    # already streamed.)
     t0 = time.perf_counter()
     state, confs = run_scan(tracker.params, state, frames)
     confs = np.asarray(confs)
@@ -190,7 +166,11 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
 
     def report_p50():
         # Reuse the tracker's pre-built gated jit (avoid a duplicate
-        # full-pipeline compile inside the measurement budget).
+        # full-pipeline compile inside the measurement budget). The
+        # tunnel's trivial-roundtrip median is measured alongside and
+        # subtracted for the on-device estimate — a reader of the JSON
+        # alone must not mistake ~32 ms of tunnel for serving latency.
+        tunnel_ms = bp.measure_tunnel_roundtrip() * 1e3
         _s, out = tracker.run_frames_gated(state, frames)
         np.asarray(out["confidence"])  # compile
         lats = []
@@ -200,8 +180,20 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
             np.asarray(out["landmarks"])
             lats.append(time.perf_counter() - t0)
         p50 = float(np.percentile(lats, 50) * 1e3)
-        print("PARTIAL " + json.dumps({"p50_ms": p50}), flush=True)
-        log(f"[B={batch}] single-step p50 {p50:.2f}ms")
+        p50_dev = max(0.0, p50 - tunnel_ms)
+        print(
+            "PARTIAL "
+            + json.dumps({
+                "p50_ms": p50,
+                "p50_device_ms": p50_dev,
+                "tunnel_ms": tunnel_ms,
+            }),
+            flush=True,
+        )
+        log(
+            f"[B={batch}] single-step p50 {p50:.2f}ms "
+            f"(tunnel {tunnel_ms:.1f}ms, on-device est {p50_dev:.2f}ms)"
+        )
 
     best = 0.0
     # Variance-based retry: measure back-to-back windows (no idling —
@@ -210,7 +202,9 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
     # over the last 4 windows after at least 6). Always measure at least
     # one window even if the compile consumed the budget — a child that
     # compiled but never measured reports nothing (the round-2 failure
-    # mode, and windows cost ~0.5 s each once compiled).
+    # mode, and windows cost ~0.5 s each once compiled). For variance
+    # reporting, healthy early-exit still tops up to 4 windows minimum
+    # so the artifact's median rests on N>=4.
     history = []
     while True:
         fps = one_window()
@@ -218,10 +212,14 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
         best = max(best, fps)
         print("PARTIAL " + json.dumps({"fps": fps}), flush=True)
         log(f"[B={batch}] window fps: {fps:.0f}")
-        if fps >= quiet_fps(batch):
+        if fps >= quiet_fps(batch) and len(history) >= 4:
             log(f"[B={batch}] healthy window captured ({best:.0f} fps)")
             break
-        if len(history) >= 6 and max(history[-4:]) <= best * 0.98:
+        if (
+            len(history) >= 6
+            and max(history[-4:]) <= best * 0.98
+            and max(history) < quiet_fps(batch)
+        ):
             log(f"[B={batch}] plateaued at {best:.0f} fps after "
                 f"{len(history)} windows (contended but stable)")
             break
@@ -261,7 +259,9 @@ class ChildRun:
     def __init__(self, batch: int, budget: float, measure_p50: bool):
         self.batch = batch
         self.best_fps = 0.0
+        self.windows: list[float] = []
         self.p50_ms = None
+        self.p50_device_ms = None
         self.done = False
         self.got_output = False
         _live_children.append(self)
@@ -291,9 +291,13 @@ class ChildRun:
                 rec = json.loads(line.split(" ", 1)[1])
                 self.got_output = True
                 if "fps" in rec:
+                    if line.startswith("PARTIAL "):
+                        self.windows.append(float(rec["fps"]))
                     self.best_fps = max(self.best_fps, float(rec["fps"]))
                 if "p50_ms" in rec:
                     self.p50_ms = float(rec["p50_ms"])
+                if "p50_device_ms" in rec:
+                    self.p50_device_ms = float(rec["p50_device_ms"])
                 if line.startswith("RESULT "):
                     self.done = True
 
@@ -337,6 +341,15 @@ _results: dict[int, dict] = {}
 _printed = False
 
 
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    if not n:
+        return 0.0
+    mid = n // 2
+    return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+
 def print_final():
     global _printed
     if _printed:
@@ -349,6 +362,7 @@ def print_final():
                 {
                     "metric": "1080p frames/sec/chip (cascade) — TPU tunnel unavailable",
                     "value": 0.0,
+                    "value_median": 0.0,
                     "unit": "frames/s",
                     "vs_baseline": 0.0,
                 }
@@ -357,13 +371,28 @@ def print_final():
         )
         return
     fps = max(candidates)
+    headline = max(_results, key=lambda b: _results[b].get("fps") or 0.0)
+    headline_windows = _results[headline].get("windows") or []
+    fps_median = _median(headline_windows) or fps
     parts = []
     for batch in sorted(_results, reverse=True):
         r = _results[batch]
         if r.get("fps"):
+            wins = r.get("windows") or []
             s = f"batch {batch}: {r['fps']:.0f} fps"
+            if len(wins) >= 2:
+                s += (
+                    f" (median {_median(wins):.0f} over {len(wins)} windows,"
+                    f" min {min(wins):.0f})"
+                )
             if r.get("p50_ms"):
                 s += f", p50 {r['p50_ms']:.2f}ms/step"
+                if r.get("p50_device_ms") is not None:
+                    s += (
+                        f" tunnel-inclusive (~{r['p50_device_ms']:.2f}ms"
+                        " on-device: ~32ms of the single-step p50 is the"
+                        " remote-tunnel roundtrip)"
+                    )
             parts.append(s)
     print(
         json.dumps(
@@ -373,6 +402,7 @@ def print_final():
                     "cascade (" + "; ".join(parts) + ")"
                 ),
                 "value": round(fps, 1),
+                "value_median": round(fps_median, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
             }
@@ -412,37 +442,42 @@ def main() -> None:
 
     # BASELINE.md requires the batch-8 fps and the p50 per-frame latency
     # in the artifact, and round 2 lost both by letting the headline
-    # configuration burn the whole budget (VERDICT r2 missing #1). The
-    # batch-8 SCAN program also persistently misses the remote compile
-    # cache across processes (150-500 s observed), while the headline
-    # program reliably hits it — so run the headline first under a HARD
-    # cap (cheap when cached), then hand batch-8 everything that remains
-    # (the largest slice this budget can guarantee it).
+    # configuration burn the whole budget (VERDICT r2 missing #1). Run
+    # the headline first under a HARD cap (cheap when the cache is warm),
+    # then hand batch-8 everything that remains — its slice must also
+    # cover the worst case of a cold/stale cache (fresh remote compiles
+    # have run 70-900 s).
     # The cached headline program reaches its first window in well under
     # 300 s (compile-from-cache + one scan); a child silent for 360 s is a
     # wedged tunnel — kill early instead of burning the full grace.
     large_cap = min(300.0, BUDGET * 0.4)
     run = ChildRun(BATCH_LARGE, large_cap, measure_p50=False)
     run.wait(silent_kill=360.0)
-    _results[BATCH_LARGE] = {"fps": run.best_fps}
+    _results[BATCH_LARGE] = {"fps": run.best_fps, "windows": list(run.windows)}
 
     remaining = deadline - time.monotonic()
     if remaining > 60:
         # If the headline recorded nothing (wedge), cap this phase's wall
         # time so the retry below is guaranteed a slice: up to 420 s
-        # (the batch-8 scan's observed worst fresh compile) but never
+        # (the batch-8 scan's observed worst warmish compile) but never
         # more than remaining - 240 (the reserved retry slice) — a
         # reduced ZARU_BENCH_BUDGET must shrink this phase, not
-        # overshoot the deadline (the old max() was a floor, not a cap).
+        # overshoot the deadline.
         max_wait = None
         if not _results[BATCH_LARGE]["fps"]:
             max_wait = max(120.0, min(420.0, remaining - 240.0))
         run = ChildRun(BATCH_SMALL, remaining - 30, measure_p50=True)
         run.wait(max_wait=max_wait, silent_kill=600.0)
-        _results[BATCH_SMALL] = {"fps": run.best_fps, "p50_ms": run.p50_ms}
+        _results[BATCH_SMALL] = {
+            "fps": run.best_fps,
+            "windows": list(run.windows),
+            "p50_ms": run.p50_ms,
+            "p50_device_ms": run.p50_device_ms,
+        }
 
     # Any leftover budget: retry the headline if it under-recorded
-    # (wedged child / heavy contention), keeping the best window.
+    # (wedged child / heavy contention), keeping the best window and
+    # accumulating windows for the median.
     while (
         _results[BATCH_LARGE].get("fps", 0.0) < quiet_fps(BATCH_LARGE)
         and deadline - time.monotonic() > 90
@@ -453,6 +488,7 @@ def main() -> None:
         run.wait(silent_kill=360.0)
         prev = _results[BATCH_LARGE]
         prev["fps"] = max(prev.get("fps", 0.0), run.best_fps)
+        prev["windows"] = (prev.get("windows") or []) + list(run.windows)
         if run.done:
             break
 

@@ -26,7 +26,9 @@ def _stub(batch, budget, script):
     run = bench.ChildRun.__new__(bench.ChildRun)
     run.batch = batch
     run.best_fps = 0.0
+    run.windows = []
     run.p50_ms = None
+    run.p50_device_ms = None
     run.done = False
     run.got_output = False
     bench._live_children.append(run)
@@ -55,6 +57,8 @@ def test_streaming_child_parses_partials_and_result():
     assert run.p50_ms == 8.5
     assert run.done
     assert run.got_output
+    # PARTIAL windows accumulate for the median; the RESULT line doesn't.
+    assert run.windows == [5000.0]
 
 
 def test_silent_child_killed_early_as_wedged():
@@ -118,18 +122,43 @@ def test_phase_heartbeat_disarms_silent_kill():
 def test_final_json_contains_both_configs_and_p50(capsys):
     bench._printed = False
     bench._results.clear()
-    bench._results[128] = {"fps": 7039.0}
-    bench._results[8] = {"fps": 1011.0, "p50_ms": 116.5}
+    bench._results[128] = {"fps": 7039.0, "windows": [6800.0, 7039.0, 6100.0, 6900.0]}
+    bench._results[8] = {
+        "fps": 1011.0,
+        "p50_ms": 116.5,
+        "p50_device_ms": 84.2,
+        "windows": [1011.0],
+    }
     bench.print_final()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     rec = json.loads(out[0])
     assert rec["value"] == 7039.0
+    # Median over the HEADLINE batch's windows (6800, 6900 midpoints).
+    assert rec["value_median"] == pytest.approx(6850.0)
     assert rec["unit"] == "frames/s"
     assert rec["vs_baseline"] == pytest.approx(7039.0 / 2000.0, abs=1e-3)
     assert "batch 128: 7039 fps" in rec["metric"]
+    assert "median 6850 over 4 windows" in rec["metric"]
     assert "batch 8: 1011 fps" in rec["metric"]
     assert "p50 116.50ms/step" in rec["metric"]
+    # The artifact itself must carry the tunnel/on-device split
+    # (VERDICT r3 weak #5): a JSON-only reader should not conclude the
+    # single-step p50 is serving latency.
+    assert "on-device" in rec["metric"]
+    assert "84.20ms" in rec["metric"]
+
+
+def test_final_json_median_defaults_to_best_without_windows(capsys):
+    # Legacy / degraded runs (no PARTIAL windows recorded) still print a
+    # well-formed line with value_median falling back to the best.
+    bench._printed = False
+    bench._results.clear()
+    bench._results[128] = {"fps": 7039.0}
+    bench.print_final()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 7039.0
+    assert rec["value_median"] == 7039.0
 
 
 def test_final_json_survives_total_failure(capsys):
