@@ -83,10 +83,12 @@ def make_bench_frame():
     )
 
 
-def timed_windows(fn, *args, n=4, label=""):
-    """Best-of-n scan-window seconds with a REAL device→host readback
-    per window (jax.block_until_ready does not block through the axon
-    tunnel — CLAUDE.md)."""
+def timed_windows_stats(fn, *args, n=4, label=""):
+    """``n`` scan-window timings with a REAL device→host readback per
+    window (jax.block_until_ready does not block through the axon
+    tunnel — CLAUDE.md). Returns ``{"best", "median", "spread", "n"}``
+    seconds so contention variance is visible alongside the headline
+    (VERDICT r3 weak #7)."""
     import numpy as np
 
     import jax
@@ -97,11 +99,21 @@ def timed_windows(fn, *args, n=4, label=""):
     t0 = time.perf_counter()
     readback(fn(*args))
     bench_log(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s")
-    best = float("inf")
+    samples = []
     for _ in range(n):
         t0 = time.perf_counter()
         readback(fn(*args))
         dt = time.perf_counter() - t0
-        best = min(best, dt)
+        samples.append(dt)
         bench_log(f"[{label}] window {dt * 1e3:.1f} ms")
-    return best
+    return {
+        "best": min(samples),
+        "median": float(np.median(samples)),
+        "spread": max(samples) - min(samples),
+        "n": len(samples),
+    }
+
+
+def timed_windows(fn, *args, n=4, label=""):
+    """Best-of-n scan-window seconds (see timed_windows_stats)."""
+    return timed_windows_stats(fn, *args, n=n, label=label)["best"]

@@ -1,0 +1,910 @@
+#!/usr/bin/env python3
+"""The parameterized TPU measurement suite (consolidates r3bench1-9).
+
+One harness — fixture 1080p frames, scan-amortized windows with REAL
+device→host readbacks, JSONL streaming so a wedged run still leaves
+data — and a named subcommand per measurement family. Every number in
+BENCHMARKS.md is reproducible by one of these subcommands (the
+provenance notes there name them).
+
+Usage:
+  python examples/benchsuite.py SUBCOMMAND [SUBCOMMAND ...] [options]
+
+Subcommands (supersedes → the round-3 one-off script it replaces):
+
+  parity       device bitwise parity of every sampler mode: rolled /
+               pallas-prescale / x-roll vs the plain XLA path, the three
+               prescale crop classes (with class-admission guards), and
+               view_pack 2/4 incl. the rolled hand shape
+               (→ r3bench parity, r3bench6 parity, r3bench9 parity)
+  sampler      full-sampler isolation at the face shape: the shipped
+               auto config + historical A/B arms, upright and tilted,
+               view_pack 1/2/4 (→ r3bench sampler, r3bench2 sweep,
+               r3bench5, r3bench6 sampler, r3bench9 speed)
+  phases       sampler phase split per crop class: prescale isolation
+               (dbuf A/B), derived rotate cost, and attribution A/Bs
+               inside the rotate kernel — pack (fixed per-step cost),
+               int8 vs bf16 (one-hot matmul share), win_x (contraction
+               width) (→ r3bench2/6 stages; extended for VERDICT r3 #2)
+  cadence      flags-as-data never/prod/always cascade arms on ONE
+               executable + the derived detect-frame marginal cost
+               (→ r3bench8 cadence)
+  detect       detect-branch component isolation: letterbox / +CNN /
+               full branch / decode+NMS tail (→ r3bench8 detect)
+  gate         gate isolation: steady no-detect state + redetect_bucket
+               steady/worst arms (→ r3bench7, r3bench3 gate)
+  cascade      the production-cadence headline at --batch (the SAME
+               traced program bench.py measures — zaru_tpu/
+               bench_programs.py) (→ r3bench/2/6 cascade arms)
+  batch-sweep  the cascade headline across --sweep-batches
+               (→ the r3bench8-era batch sweep)
+  hand         hand cascade + hand-shape sampler variants
+               (→ r3bench4, r3bench2 hand)
+  landmark     landmark-half isolation with PINNED ROIs
+               (→ r3bench2 landmark)
+  cnnstage     the CNN megakernel record: fused BlazeBlock stages vs
+               XLA (kept as the measured-negative record — ops/
+               cnn_stage.py) (→ r3bench3)
+  bf16         in-distribution bf16 cascade deviation + model-only
+               speed record (→ r3bench bf16)
+
+Historical-baseline pinning: arms that reproduce round-3 recorded
+numbers pin the knobs those numbers were measured at (notably
+``view_pack=1`` — the auto default flipped to packing in round 4, which
+would silently change what a re-run measures; ADVICE r3 #1). Arms named
+"*-auto" measure the shipped defaults.
+
+Timing honesty: every window forces a device→host readback (np.asarray);
+``jax.block_until_ready`` does NOT block through this tunnel (CLAUDE.md).
+Windows report best AND median/N so contention spread is visible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from _common import bench_log as log
+from _common import make_bench_frame, make_emit, timed_windows_stats
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+SUBCOMMANDS = (
+    "parity", "sampler", "phases", "cadence", "detect", "gate",
+    "cascade", "batch-sweep", "hand", "landmark", "cnnstage", "bf16",
+)
+
+# The bench face view: the fixture's tracked ROI at 1080p is a ~836 px
+# square centered near (1038, 595) — stride 2 upright, stride 3 at
+# theta=1.0 (bbox inflates by cos+sin past 1024).
+FACE_VIEW = (1038.0, 595.0, 836.0)
+
+
+class Ctx:
+    """Lazily-built shared state (frame upload is expensive through the
+    tunnel; arms share one tiled batch per size)."""
+
+    def __init__(self, args):
+        self.args = args
+        self.emit = make_emit(args.out)
+        self._frame = None
+        self._tiled = {}
+
+    @property
+    def frame(self):
+        if self._frame is None:
+            self._frame = make_bench_frame()
+        return self._frame
+
+    def frames(self, batch):
+        if batch not in self._tiled:
+            f = jax.device_put(jnp.asarray(self.frame))
+            tiled = jax.jit(
+                lambda x, b=batch: jnp.broadcast_to(x[None], (b, *x.shape)) + 0
+            )(f)
+            np.asarray(tiled[0, 0, 0])  # prove the tunnel alive
+            self._tiled[batch] = tiled
+        return self._tiled[batch]
+
+    def rects(self, batch, theta, size=FACE_VIEW[2], cx=FACE_VIEW[0],
+              cy=FACE_VIEW[1]):
+        rr = np.zeros((batch, 5), np.float32)
+        rr[:] = [cx, cy, size, size, theta]
+        return jnp.asarray(rr)
+
+    def windows(self, fn, *fargs, label=""):
+        stats = timed_windows_stats(
+            fn, *fargs, n=self.args.windows, label=label
+        )
+        return stats
+
+
+def _sampler_scan(steps, out_wh=192, **opts):
+    """A jitted ``steps``-step scan over the fast sampler with an
+    anti-CSE rect perturbation."""
+    from zaru_tpu.ops.rotated_fast import rotated_sample_fast
+
+    @jax.jit
+    def run(fr, rr):
+        def body(c, _):
+            out = rotated_sample_fast(
+                fr, rr + c * 1e-6, out_wh, out_wh, 0.0, 1.0, **opts
+            )
+            return c + 1.0, out.reshape(out.shape[0], -1)[:, 0]
+
+        _, outs = lax.scan(body, 0.0, None, length=steps)
+        return outs
+
+    return run
+
+
+def _emit_scan(ctx, bench, label, stats, steps, batch, **extra):
+    ctx.emit({
+        "bench": bench, "config": label, "batch": batch,
+        "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+        "ms_per_step_median": round(stats["median"] / steps * 1e3, 2),
+        "windows": stats["n"],
+        "fps": round(batch * steps / stats["best"]),
+        **extra,
+    })
+
+
+# ---------------------------------------------------------------------------
+# parity
+# ---------------------------------------------------------------------------
+
+
+def cmd_parity(ctx):
+    """Bitwise device parity of every sampler mode (run whenever the
+    sampler/Pallas code changed — interpret-mode parity does not cover
+    Mosaic lowering, ADVICE r2 #4)."""
+    from zaru_tpu.ops.rotated_fast import (
+        PRESCALE_M, _prescale_coverage_ok, rotated_sample_fast,
+    )
+
+    img = jnp.asarray(ctx.frame[None])
+
+    # Mode parity: rolled / pallas-prescale / x-roll vs plain full-band.
+    for theta in (0.3, 1.2, -2.1):
+        rr = jnp.asarray(np.asarray([[960, 540, 420, 420, theta]], np.float32))
+        common = dict(out_w=192, out_h=192, lo=0.0, hi=255.0)
+        plain = np.asarray(rotated_sample_fast(
+            img, rr, **common, band_p=512, col_split=1,
+            pallas_prescale=False,
+        ))
+        rolled = np.asarray(rotated_sample_fast(
+            img, rr, **common, band_p=512, col_split=1, square_views=True,
+            pallas_prescale=False,
+        ))
+        pp = np.asarray(rotated_sample_fast(
+            img, rr, **common, band_p=512, col_split=1, square_views=True,
+            pallas_prescale=True,
+        ))
+        xr = np.asarray(rotated_sample_fast(
+            img, rr, **common, band_p=192, rows_per_block=64, win_x=128,
+            xroll=True,
+        ))
+        ctx.emit({
+            "check": "device_parity", "theta": theta,
+            "rolled_eq_plain": bool((rolled == plain).all()),
+            "pallas_prescale_eq": bool((pp == rolled).all()),
+            "xroll_eq": bool((xr == pp).all()),
+            "max_abs_diff": float(np.abs(rolled - plain).max()),
+        })
+
+    # Crop-class parity with admission guards: each case must be
+    # admitted by ITS class and rejected by the tighter one, or the
+    # record lies (this section once misattributed a stride-2 case).
+    cfg = dict(out_w=192, out_h=192, lo=0.0, hi=255.0,
+               band_p=192, rows_per_block=64, win_x=128, xroll=True)
+    for size, theta, cls in ((400.0, 0.3, 1), (700.0, 0.9, 2), (836.0, 1.0, 3)):
+        rr = jnp.asarray(np.asarray([[960, 540, size, size, theta]], np.float32))
+        admitted = bool(_prescale_coverage_ok(rr, PRESCALE_M, 1080, 1920, cls))
+        tighter = cls > 1 and bool(
+            _prescale_coverage_ok(rr, PRESCALE_M, 1080, 1920, cls - 1)
+        )
+        via_pallas = np.asarray(rotated_sample_fast(
+            img, rr, **cfg, pallas_prescale=True))
+        via_take = np.asarray(rotated_sample_fast(
+            img, rr, **cfg, pallas_prescale=False))
+        rec = {
+            "check": "device_parity_stride_class", "smax": cls,
+            "size": size, "theta": theta,
+            "class_admits": admitted, "tighter_admits": tighter,
+            "pallas_eq_take": bool((via_pallas == via_take).all()),
+            "max_abs_diff": float(np.abs(via_pallas - via_take).max()),
+        }
+        ctx.emit(rec)
+        assert rec["pallas_eq_take"], f"crop-class {cls} parity FAILED"
+
+    # view_pack parity: packing must be bitwise-invisible, banded and
+    # rolled modes, upright and tilted (batch so N divides the packs).
+    B = 8
+    frames = ctx.frames(B)
+    for theta in (0.0, 1.0):
+        rr = ctx.rects(B, theta)
+        base = np.asarray(jax.jit(
+            lambda f, r: rotated_sample_fast(f, r, 192, 192, view_pack=1)
+        )(frames, rr))
+        for pack in (2, 4):
+            got = np.asarray(jax.jit(
+                lambda f, r, p=pack: rotated_sample_fast(
+                    f, r, 192, 192, view_pack=p)
+            )(frames, rr))
+            eq = bool((got == base).all())
+            ctx.emit({"check": "viewpack_parity", "theta": theta,
+                      "pack": pack, "bitwise_equal": eq})
+            assert eq, f"view_pack={pack} parity FAILED at theta={theta}"
+    rrh = ctx.rects(B, 0.7, size=300.0)
+    kw = dict(square_views=True, prescale_m=256, band_p=256, col_split=1)
+    base = np.asarray(jax.jit(
+        lambda f, r: rotated_sample_fast(f, r, 224, 224, view_pack=1, **kw)
+    )(frames, rrh))
+    got = np.asarray(jax.jit(
+        lambda f, r: rotated_sample_fast(f, r, 224, 224, view_pack=4, **kw)
+    )(frames, rrh))
+    eq = bool((got == base).all())
+    ctx.emit({"check": "viewpack_parity", "mode": "rolled224",
+              "pack": 4, "bitwise_equal": eq})
+    assert eq, "view_pack=4 rolled parity FAILED"
+    log("device parity OK")
+
+
+# ---------------------------------------------------------------------------
+# sampler
+# ---------------------------------------------------------------------------
+
+
+def cmd_sampler(ctx):
+    """Full-sampler isolation at the face shape. The ``*-auto`` arm is
+    the shipped default; pinned arms reproduce the historical A/Bs at
+    the exact knobs their recorded numbers used (view_pack=1 — the
+    round-3 numbers predate the auto packing default)."""
+    B, steps = ctx.args.batch, ctx.args.steps
+    frames = ctx.frames(B)
+    variants = [
+        # label, theta, size, opts
+        ("auto", 0.12, 836.0, {}),
+        ("auto-th1.0", 1.0, 836.0, {}),
+        ("auto-360px", 0.12, 360.0, {}),
+        ("pack1 (r3 baseline)", 0.12, 836.0, {"view_pack": 1}),
+        ("pack1-th1.0 (r3 baseline)", 1.0, 836.0, {"view_pack": 1}),
+        ("pack2", 0.12, 836.0, {"view_pack": 2}),
+        ("pack4", 0.12, 836.0, {"view_pack": 4}),
+        ("xroll-xw128-pack1 (r3bench5 row)", 0.12, 836.0,
+         {"win_x": 128, "xroll": True, "view_pack": 1}),
+        ("nodbuf-pack1 (r3bench6 row)", 0.12, 836.0,
+         {"prescale_dbuf": False, "view_pack": 1}),
+        ("take-prescale-pack1 (r2 lane)", 0.12, 836.0,
+         {"pallas_prescale": False, "view_pack": 1}),
+    ]
+    only = ctx.args.only
+    for label, theta, size, opts in variants:
+        if only and only not in label:
+            continue
+        run = _sampler_scan(steps, **opts)
+        stats = ctx.windows(run, frames, ctx.rects(B, theta, size),
+                            label=f"sampler {label}")
+        _emit_scan(ctx, "sampler", label, stats, steps, B,
+                   theta=theta, size=size)
+
+
+# ---------------------------------------------------------------------------
+# phases
+# ---------------------------------------------------------------------------
+
+
+def cmd_phases(ctx):
+    """The sampler's phase split per crop class (VERDICT r3 #2).
+
+    Direct timings: the full sampler and the prescale kernel alone
+    (crop DMA + one-hot selection into the [N,M,M] intermediate);
+    rotate = full - prescale. Attribution INSIDE the rotate kernel via
+    knob A/Bs that each isolate one phase:
+      - view_pack 1 vs 4: the per-grid-step fixed cost (pack amortizes
+        only that);
+      - int8 vs bf16 one-hot: the selection-matmul share (bf16 halves
+        MXU rate for this op, so delta ~= matmul time);
+      - dbuf off: the serial crop-DMA share of prescale.
+    """
+    from zaru_tpu.ops.rotated_fast import PRESCALE_M, _prescale_pallas
+
+    B, steps = ctx.args.batch, ctx.args.steps
+    frames = ctx.frames(B)
+    img32 = jax.jit(
+        lambda f: lax.bitcast_convert_type(f, jnp.uint32)
+    )(frames)
+    np.asarray(img32[0, 0])
+
+    # (label, theta, size, crop class for the prescale isolation)
+    shapes = [
+        ("face-836-s2", 0.12, 836.0, 2),
+        ("face-360-s1", 0.12, 360.0, 1),
+        ("face-836-th1.0-s3", 1.0, 836.0, 3),
+    ]
+    for label, theta, size, smax in shapes:
+        if ctx.args.only and ctx.args.only not in label:
+            continue
+        rr = ctx.rects(B, theta, size)
+
+        # Phase 1: prescale isolation, dbuf on and off.
+        pres = {}
+        for dbuf in (True, False):
+            @jax.jit
+            def run_pre(fr32, r, d=dbuf, s=smax):
+                def body(c, _):
+                    p = _prescale_pallas(fr32, r + c * 1e-6, PRESCALE_M,
+                                         1, False, s, d)
+                    return c + 1.0, p[:, 0, 0]
+                _, o = lax.scan(body, 0.0, None, length=steps)
+                return o
+
+            stats = ctx.windows(run_pre, img32, rr,
+                                label=f"phases {label} prescale dbuf{int(dbuf)}")
+            pres[dbuf] = stats["best"] / steps * 1e3
+            ctx.emit({"bench": "phases", "shape": label, "phase": "prescale",
+                      "dbuf": dbuf, "batch": B,
+                      "ms_per_step": round(pres[dbuf], 2),
+                      "ms_per_step_median": round(stats["median"] / steps * 1e3, 2)})
+
+        # Phase 2: full sampler at the default and the A/B knobs.
+        arms = {
+            "full-auto": {},
+            "full-pack1": {"view_pack": 1},
+            "full-bf16sel": {"int8_mxu": False},
+        }
+        full = {}
+        for arm, opts in arms.items():
+            run = _sampler_scan(steps, **opts)
+            stats = ctx.windows(run, frames, rr, label=f"phases {label} {arm}")
+            full[arm] = stats["best"] / steps * 1e3
+            ctx.emit({"bench": "phases", "shape": label, "phase": arm,
+                      "batch": B, "ms_per_step": round(full[arm], 2),
+                      "ms_per_step_median": round(stats["median"] / steps * 1e3, 2)})
+
+        # Derived attribution.
+        ctx.emit({
+            "bench": "phases", "shape": label, "phase": "derived",
+            "batch": B,
+            "prescale_ms": round(pres[True], 2),
+            "crop_dma_serial_ms": round(pres[False] - pres[True], 2),
+            "rotate_ms": round(full["full-auto"] - pres[True], 2),
+            "fixed_step_cost_ms": round(full["full-pack1"] - full["full-auto"], 2),
+            "onehot_matmul_ms_est": round(full["full-bf16sel"] - full["full-auto"], 2),
+        })
+
+
+# ---------------------------------------------------------------------------
+# cadence / detect (r3bench8)
+# ---------------------------------------------------------------------------
+
+
+def cmd_cadence(ctx):
+    """never/prod/always cascade arms on ONE executable (flags are scan
+    data, so arms share the compile) + the derived detect-frame cost."""
+    from zaru_tpu.pipeline import FaceTracker
+
+    B = ctx.args.batch
+    steps = max(ctx.args.steps, 18)  # 2 detects at 1-in-9
+    frames = ctx.frames(B)
+    tracker = FaceTracker()
+    state0 = tracker.init_state(batch=B)
+    state0, out = tracker.run_frames(state0, frames)
+    assert bool(np.asarray(out["valid"]).all()), "tracking not established"
+
+    @jax.jit
+    def run_flags(params, st, frames, flags):
+        def body(carry, force):
+            st2, out = tracker.step_batch(params, carry, frames, force)
+            return st2, jnp.sum(out["confidence"])
+
+        _st, confs = lax.scan(body, st, flags)
+        return jnp.sum(confs)
+
+    arms = {
+        "never": np.zeros(steps, bool),
+        "prod": (np.arange(steps) % 9) == 0,
+        "always": np.ones(steps, bool),
+    }
+    results = {}
+    for label, flags in arms.items():
+        flags = jnp.asarray(flags)
+        stats = ctx.windows(
+            lambda p, s, f, fl=flags: run_flags(p, s, f, fl),
+            tracker.params, state0, frames, label=f"cadence-{label}",
+        )
+        ms = stats["best"] * 1e3 / steps
+        results[label] = ms
+        ctx.emit({"bench": "cadence", "arm": label, "batch": B,
+                  "scan": steps, "ms_per_step": round(ms, 2),
+                  "ms_per_step_median": round(stats["median"] * 1e3 / steps, 2),
+                  "fps": round(B * steps / stats["best"], 0)})
+    extra = results["always"] - results["never"]
+    ctx.emit({"bench": "cadence", "arm": "derived",
+              "detect_frame_extra_ms": round(extra, 2),
+              "predicted_prod_ms": round(results["never"] + extra / 9, 2),
+              "measured_prod_ms": round(results["prod"], 2)})
+
+
+def cmd_detect(ctx):
+    """Detect-branch component isolation at --batch."""
+    from zaru_tpu.pipeline import FaceTracker, _ops
+
+    B, steps = ctx.args.batch, ctx.args.steps
+    frames = ctx.frames(B)
+    tracker = FaceTracker()
+    det_cnn = tracker.det_cnn
+    res = det_cnn.input_resolution()
+
+    fits = jax.jit(jax.vmap(lambda f: _ops.full_frame_fit(f, res)[0]))(frames)
+    rrects = jnp.concatenate(
+        [fits, jnp.zeros((fits.shape[0], 1), jnp.float32)], axis=-1
+    )
+    np.asarray(rrects)
+
+    def scan_iso(step):
+        @jax.jit
+        def run(params, frames, rr):
+            def body(c, _):
+                out = step(params, frames, rr + c * 1e-6)
+                return c + 1.0, out
+            _, outs = lax.scan(body, 0.0, None, length=steps)
+            return outs
+        return run
+
+    def letterbox_only(params, frames, rr):
+        xs = det_cnn.sample_views_letterbox(frames, rr)
+        return jnp.sum(xs[:, 0, 0]) + jnp.sum(xs[:, -1, -1])
+
+    def letterbox_cnn(params, frames, rr):
+        xs = det_cnn.sample_views_letterbox(frames, rr)
+        outs = jax.vmap(
+            lambda t: det_cnn.apply_tensor_hwc(params["det"], t)
+        )(xs)
+        return sum(jnp.sum(o[..., 0]) for o in outs)
+
+    def full_branch(params, frames, rr):
+        # _detect_batch computes its own letterbox fit, so rr can't carry
+        # the anti-CSE perturbation; thread it through a float params
+        # leaf instead (c*1e-30 is numerically invisible but defeats
+        # XLA's loop-invariant code motion).
+        eps = jnp.sum(rr) * 1e-30
+        p2 = {
+            "det": jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params["det"],
+            ),
+            **{k: v for k, v in params.items() if k != "det"},
+        }
+        rois, founds = tracker._detect_batch(p2, frames)
+        return jnp.sum(rois) + jnp.sum(founds)
+
+    for label, step in (
+        ("letterbox-only", letterbox_only),
+        ("letterbox+cnn", letterbox_cnn),
+        ("full-detect-branch", full_branch),
+    ):
+        stats = ctx.windows(scan_iso(step), tracker.params, frames, rrects,
+                            label=label)
+        ctx.emit({"bench": "detect_iso", "stage": label, "batch": B,
+                  "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+                  "ms_per_step_median": round(stats["median"] / steps * 1e3, 2)})
+
+    # decode+NMS tail alone, on pinned CNN outputs.
+    xs = jax.jit(
+        lambda fr, rr: det_cnn.sample_views_letterbox(fr, rr)
+    )(frames, rrects)
+    outputs0 = jax.jit(
+        lambda p, xs: jax.vmap(
+            lambda t: det_cnn.apply_tensor_hwc(p["det"], t)
+        )(xs)
+    )(tracker.params, xs)
+    np.asarray(outputs0[0][0, :1])
+
+    @jax.jit
+    def tail_only(outputs, fits):
+        def body(c, _):
+            outs = jax.tree_util.tree_map(
+                lambda o: o + c * 1e-6, list(outputs)
+            )
+            rois, founds = jax.vmap(
+                lambda o, f: tracker._detect_tail(o, f, res)
+            )(outs, fits)
+            return c + 1.0, jnp.sum(rois) + jnp.sum(founds)
+        _, accs = lax.scan(body, 0.0, None, length=steps)
+        return accs
+
+    stats = ctx.windows(tail_only, outputs0, fits, label="decode+nms-tail")
+    ctx.emit({"bench": "detect_iso", "stage": "decode+nms-tail", "batch": B,
+              "ms_per_step": round(stats["best"] / steps * 1e3, 2)})
+
+
+# ---------------------------------------------------------------------------
+# gate (r3bench7 + r3bench3 gate isolation)
+# ---------------------------------------------------------------------------
+
+
+def cmd_gate(ctx):
+    """Gate-isolation steady state + redetect_bucket steady/worst arms."""
+    from zaru_tpu.pipeline import FaceTracker
+
+    B = ctx.args.batch
+    steps = max(ctx.args.steps, 32)
+    frames = ctx.frames(B)
+
+    full = FaceTracker(redetect_bucket=None)
+    state0 = full.init_state(batch=B)
+    state0, out = full.run_frames(state0, frames)
+    assert bool(np.asarray(out["valid"]).all()), "tracking not established"
+
+    def scan_runner(tracker, relose):
+        @jax.jit
+        def run(params, st, frames):
+            def body(carry, _):
+                st2, out = tracker.step_batch(params, carry, frames)
+                if relose:
+                    st2 = dict(st2, tracking=st2["tracking"].at[0].set(False))
+                return st2, jnp.sum(out["confidence"])
+            _st, confs = lax.scan(body, st, jnp.arange(steps))
+            return jnp.sum(confs)
+        return run
+
+    results = {}
+    for bucket in (None, 8):
+        tracker = FaceTracker(redetect_bucket=bucket) if bucket else full
+        tag = "bucket8" if bucket else "full"
+        for mode, relose in (("steady", False), ("worst", True)):
+            label = f"{tag}-{mode}"
+            run = scan_runner(tracker, relose)
+            stats = ctx.windows(run, tracker.params, state0, frames,
+                                label=label)
+            fps = B * steps / stats["best"]
+            results[label] = fps
+            ctx.emit({"bench": "redetect_bucket", "path": label, "batch": B,
+                      "fps": round(fps, 1),
+                      "ms_per_step": round(stats["best"] * 1e3 / steps, 3),
+                      "ms_per_step_median": round(stats["median"] * 1e3 / steps, 3)})
+    if {"full-worst", "bucket8-worst"} <= results.keys():
+        ctx.emit({"bench": "redetect_bucket", "path": "worst-case-speedup",
+                  "value": round(results["bucket8-worst"] / results["full-worst"], 3)})
+
+
+# ---------------------------------------------------------------------------
+# cascade / batch-sweep
+# ---------------------------------------------------------------------------
+
+
+def _cascade_once(ctx, batch):
+    """The production-cadence headline — the SAME traced program
+    bench.py's child measures (zaru_tpu/bench_programs.py), so this
+    subcommand shares (and prewarms) its persistent-cache entries."""
+    from zaru_tpu import bench_programs as bp
+    from zaru_tpu.pipeline import FaceTracker
+
+    steps = ctx.args.steps
+    tracker = FaceTracker()
+    frames = ctx.frames(batch)
+    state = tracker.init_state(batch=batch)
+    run_scan = bp.build_cascade_scan(tracker, steps, 9)
+
+    t0 = time.perf_counter()
+    state, confs = run_scan(tracker.params, state, frames)
+    confs = np.asarray(confs)
+    log(f"[cascade B={batch}] compile+detect {time.perf_counter() - t0:.1f}s "
+        f"conf {confs[-1].min():.2f}")
+    assert bool(confs[-1].min() > 0.5), "tracking not established"
+
+    def one(params, st, fr):
+        return run_scan(params, st, fr)[1]
+
+    stats = ctx.windows(one, tracker.params, state, frames,
+                        label=f"cascade B={batch}")
+    ctx.emit({"bench": "cascade_production", "batch": batch,
+              "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+              "ms_per_step_median": round(stats["median"] / steps * 1e3, 2),
+              "windows": stats["n"],
+              "fps": round(batch * steps / stats["best"]),
+              "fps_median": round(batch * steps / stats["median"])})
+
+
+def cmd_cascade(ctx):
+    _cascade_once(ctx, ctx.args.batch)
+
+
+def cmd_batch_sweep(ctx):
+    for batch in ctx.args.sweep_batches:
+        try:
+            _cascade_once(ctx, batch)
+        except Exception as e:
+            ctx.emit({"bench": "cascade_production", "batch": batch,
+                      "error": f"{type(e).__name__}: {e}"[:300]})
+
+
+# ---------------------------------------------------------------------------
+# hand
+# ---------------------------------------------------------------------------
+
+
+def cmd_hand(ctx):
+    """Hand cascade + hand-shape sampler variants (64 streams x 4 slots)."""
+    from zaru_tpu.ops.rotated_fast import rotated_sample_fast
+    from zaru_tpu.pipeline import MultiHandTracker
+
+    B, S = 64, 4
+    steps = max(ctx.args.steps // 2, 8)
+    frames = ctx.frames(B)
+
+    rng = np.random.default_rng(3)
+    rois = np.stack([
+        np.stack([
+            rng.uniform(300, 1600, S), rng.uniform(200, 900, S),
+            rng.uniform(180, 320, S), rng.uniform(180, 320, S),
+            rng.uniform(-3.0, 3.0, S),
+        ], axis=-1)
+        for _ in range(B)
+    ]).astype(np.float32)
+    side = np.maximum(rois[..., 2], rois[..., 3])
+    rois[..., 2] = rois[..., 3] = side
+    rois_dev = jnp.asarray(rois)
+
+    M256 = dict(prescale_m=256, band_p=256, col_split=1)
+    for label, opts in (
+        ("rolled-auto (hand default)", dict(square_views=True, **M256)),
+        ("rolled-pack1 (r3 baseline)",
+         dict(square_views=True, view_pack=1, **M256)),
+        ("banded-auto-M256", dict(prescale_m=256)),
+    ):
+        if ctx.args.only and ctx.args.only not in label:
+            continue
+
+        def make_run(kw):
+            @jax.jit
+            def run(fr, rr):
+                def body(c, _):
+                    out = rotated_sample_fast(
+                        fr, rr + c * 1e-6, 224, 224, 0.0, 1.0, **kw
+                    )
+                    return c + 1.0, out[:, 0, 0, 0, 0]
+                _, o2 = lax.scan(body, 0.0, None, length=steps)
+                return o2
+            return run
+
+        run = make_run(opts)
+        try:
+            stats = ctx.windows(run, frames, rois_dev, label=f"hand {label}")
+            _emit_scan(ctx, "hand_sampler", label, stats, steps, B)
+        except Exception as e:
+            ctx.emit({"bench": "hand_sampler", "config": label,
+                      "error": f"{type(e).__name__}: {e}"[:200]})
+
+    # Full hand cascade at the shipped config.
+    tr = MultiHandTracker(max_hands=S)
+    st = tr.init_state(batch=B)
+
+    @jax.jit
+    def run_cascade(params, st, fr):
+        def body(s, t):
+            s, out = tr.step_batch(params, s, fr)
+            return s, out["presence"]
+        return lax.scan(body, st, jnp.arange(steps))
+
+    t0 = time.perf_counter()
+    st2, pres = run_cascade(tr.params, st, frames)
+    np.asarray(pres)
+    log(f"[hand cascade] compile {time.perf_counter() - t0:.1f}s")
+    stats = ctx.windows(
+        lambda p, s, f: run_cascade(p, s, f)[1], tr.params, st, frames,
+        label="hand cascade",
+    )
+    ctx.emit({"bench": "hand_cascade", "config": "shipped default",
+              "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+              "fps": round(B * steps / stats["best"])})
+
+
+# ---------------------------------------------------------------------------
+# landmark
+# ---------------------------------------------------------------------------
+
+
+def cmd_landmark(ctx):
+    """Landmark half with PINNED ROIs (carrying tracker state drifts the
+    strides past the Pallas coverage and measures the take fallback)."""
+    from zaru_tpu.pipeline import FaceTracker
+
+    B, steps = ctx.args.batch, ctx.args.steps
+    frames = ctx.frames(B)
+    tracker = FaceTracker()
+    state = tracker.init_state(batch=B)
+    state, _ = jax.jit(
+        lambda p, s, f: tracker.step_batch(p, s, f, True)
+    )(tracker.params, state, frames)
+    np.asarray(state["roi"])
+
+    @jax.jit
+    def run_track(params, state, fr):
+        rois0 = state["roi"]
+
+        def body(c, _):
+            st = dict(state, roi=rois0 + c * 1e-6)
+            _st, out = tracker._track_batch(
+                params, st, fr, st["roi"], jnp.zeros_like(st["tracking"]),
+            )
+            return c + 1.0, out["confidence"]
+        _, outs = lax.scan(body, 0.0, None, length=steps)
+        return outs
+
+    stats = ctx.windows(run_track, tracker.params, state, frames,
+                        label="landmark-half-pinned")
+    ctx.emit({"bench": "landmark_half_pinned", "batch": B,
+              "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+              "ms_per_step_median": round(stats["median"] / steps * 1e3, 2),
+              "fps": round(B * steps / stats["best"])})
+
+
+# ---------------------------------------------------------------------------
+# cnnstage (r3bench3 — kept as the measured-negative record)
+# ---------------------------------------------------------------------------
+
+
+def cmd_cnnstage(ctx):
+    from zaru_tpu.ops.cnn_stage import (
+        blaze_blocks_reference, fused_blocks, pack_blocks,
+    )
+
+    B = ctx.args.batch
+    steps = max(ctx.args.steps, 32)
+    rng = np.random.default_rng(0)
+    stages = [
+        (16, 96, 96, 2, (2, 4)),
+        (32, 48, 48, 2, (2, 4)),
+        (64, 24, 24, 2, (1, 2)),
+        (128, 12, 12, 2, (1,)),
+        (128, 6, 6, 2, (1,)),
+    ]
+    for C, H, W, nb, groups in stages:
+        blocks = [
+            {
+                "dw_w": rng.normal(0, 0.3, (C, 1, 3, 3)).astype(np.float32),
+                "dw_b": rng.normal(0, 0.1, (C,)).astype(np.float32),
+                "pw_w": rng.normal(0, 0.3, (C, C, 1, 1)).astype(np.float32),
+                "pw_b": rng.normal(0, 0.1, (C,)).astype(np.float32),
+                "alpha": rng.uniform(0.05, 0.3, (C,)).astype(np.float32),
+            }
+            for _ in range(nb)
+        ]
+        x = jnp.asarray(rng.normal(0, 1, (B, C, H, W)).astype(np.float32))
+
+        @jax.jit
+        def run_xla(x):
+            def body(c, _):
+                out = blaze_blocks_reference(x + c * 1e-6, blocks)
+                return c + 1.0, out[:, 0, 0, 0]
+            _, o = lax.scan(body, 0.0, None, length=steps)
+            return o
+
+        stats = ctx.windows(run_xla, x, label=f"xla C{C} {H}x{W}")
+        ms_xla = stats["best"] / steps * 1e3
+        ctx.emit({"bench": "stage", "impl": "xla", "C": C, "H": H,
+                  "nb": nb, "ms_per_step": round(ms_xla, 3)})
+        for G in groups:
+            packed = pack_blocks(blocks, C, G)
+
+            @jax.jit
+            def run_fused(x, packed=packed, G=G):
+                def body(c, _):
+                    out = fused_blocks(x + c * 1e-6, packed, H, W, C, group=G)
+                    return c + 1.0, out[:, 0, 0, 0]
+                _, o = lax.scan(body, 0.0, None, length=steps)
+                return o
+
+            try:
+                stats = ctx.windows(run_fused, x, label=f"fused C{C} G{G}")
+                ms = stats["best"] / steps * 1e3
+                got = np.asarray(fused_blocks(x, packed, H, W, C, group=G))
+                want = np.asarray(blaze_blocks_reference(x, blocks))
+                ctx.emit({"bench": "stage", "impl": f"fused_g{G}", "C": C,
+                          "H": H, "nb": nb, "ms_per_step": round(ms, 3),
+                          "max_err": float(np.abs(got - want).max()),
+                          "speedup_vs_xla": round(ms_xla / ms, 2)})
+            except Exception as e:
+                ctx.emit({"bench": "stage", "impl": f"fused_g{G}", "C": C,
+                          "H": H, "error": f"{type(e).__name__}: {e}"[:300]})
+
+
+# ---------------------------------------------------------------------------
+# bf16 (record)
+# ---------------------------------------------------------------------------
+
+
+def cmd_bf16(ctx):
+    """In-distribution bf16 deviation + model-only speed (the record
+    that retired bf16 as a default: 3.5-5 px deviation, no speed win)."""
+    import cv2
+
+    from zaru_tpu.pipeline import FaceTracker
+
+    B, steps = ctx.args.batch, ctx.args.steps
+    tr32 = FaceTracker(smooth=None)
+    tr16 = FaceTracker(smooth=None, compute_dtype=jnp.bfloat16)
+    rgba = np.asarray(ctx.frame)
+    for deg in (0.0, 25.0, 60.0):
+        if deg:
+            mat = cv2.getRotationMatrix2D((960, 540), deg, 1.0)
+            fr = cv2.warpAffine(rgba, mat, (1920, 1080))
+        else:
+            fr = rgba
+        f = jnp.asarray(fr)[None]
+        s32 = tr32.init_state(batch=1)
+        s16 = tr16.init_state(batch=1)
+        for _ in range(4):
+            s32, o32 = tr32.run_frames_gated(s32, f)
+            s16, o16 = tr16.run_frames_gated(s16, f)
+        lm_err = float(np.abs(
+            np.asarray(o32["landmarks"])[0, :, :2]
+            - np.asarray(o16["landmarks"])[0, :, :2]
+        ).max())
+        ctx.emit({"check": "bf16_face_indist", "tilt_deg": deg,
+                  "lm_err_px": round(lm_err, 3),
+                  "conf_f32": float(o32["confidence"][0]),
+                  "conf_bf16": float(o16["confidence"][0]),
+                  "valid_both": bool(o32["valid"][0]) and bool(o16["valid"][0])})
+
+    for lbl, tr in (("f32", tr32), ("bf16", tr16)):
+        xs = jnp.zeros((B, 192, 192, 3), jnp.float32)
+
+        @jax.jit
+        def run_model(params, xs, tr=tr):
+            def body(c, _):
+                outs = jax.vmap(
+                    lambda t: tr.lm_cnn.apply_tensor_hwc(params["lm"], t)
+                )(xs + c * 1e-6)
+                return c + 1.0, outs[0].reshape(B, -1)[:, 0]
+            _, o = lax.scan(body, 0.0, None, length=steps)
+            return o
+
+        stats = ctx.windows(run_model, tr.params, xs, label=f"facemesh-{lbl}")
+        ctx.emit({"bench": "facemesh_model_only", "dtype": lbl,
+                  "ms_per_step": round(stats["best"] / steps * 1e3, 2)})
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("subcommands", nargs="+", choices=SUBCOMMANDS)
+    ap.add_argument("--out", default="/tmp/benchsuite.jsonl")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--windows", type=int, default=4)
+    ap.add_argument("--only", default=None,
+                    help="substring filter over variant labels")
+    ap.add_argument("--sweep-batches", type=int, nargs="+",
+                    default=[128, 256, 384, 512])
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    log(f"benchsuite on {dev.platform} ({dev.device_kind}); "
+        f"B={args.batch} steps={args.steps} -> {args.out}")
+    ctx = Ctx(args)
+    for sub in args.subcommands:
+        fn = globals()["cmd_" + sub.replace("-", "_")]
+        log(f"=== {sub} ===")
+        fn(ctx)
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

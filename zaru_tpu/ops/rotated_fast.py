@@ -1086,7 +1086,18 @@ def rotated_sample_fast(
     # Default (None): auto — the largest admissible pack in {4, 2};
     # measured at the face shape, batch 128: 6.73 -> 5.96 -> 5.66
     # ms/step at pack 1/2/4 upright, 7.04 -> 6.01 tilted, bitwise-equal
-    # on device (examples/r3bench9.py).
+    # on device (benchsuite sampler pack arms). Auto considers powers
+    # of two only: serving batches are powers of two (the slot engines
+    # flatten [B,S] with S in {1,2,4}), pack 4 measured within ~5% of
+    # the amortization asymptote (1/pack scaling of the fixed cost has
+    # little left beyond 4), and an odd pack (e.g. 3) would cover
+    # oddball view counts at the cost of another compiled kernel shape
+    # per config — pass view_pack explicitly for such batches. The
+    # 4 MiB block gate is measured-heuristic and PRE-double-buffering:
+    # Mosaic pipelines the (pack, M, M) input block, so steady-state
+    # VMEM holds ~2x the gate (8 MiB at pack 4 / M=512) — still far
+    # under v5e's 128 MiB physical VMEM; the gate bounds the pipelined
+    # working set, not a hard budget.
     def _pack_ok(p):
         return (
             (hoist_band or resident)
