@@ -103,6 +103,13 @@ def run_torch(model: OnnxModel, inputs: list[np.ndarray]) -> list[np.ndarray]:
             out = ins[0].mean(dim=tuple(axes), keepdim=bool(a.get("keepdims", 1)))
         elif op == "Resize":
             sizes = ins[3].numpy().tolist() if len(ins) > 3 and ins[3] is not None and ins[3].numel() else None
+            if sizes is None and len(ins) > 2 and ins[2] is not None and ins[2].numel():
+                # Resize by scales (input #2) — the other spec spelling.
+                scales = ins[2].numpy().tolist()
+                sizes = [
+                    int(np.floor(d * s))
+                    for d, s in zip(ins[0].shape, scales)
+                ]
             mode = a.get("mode", "nearest")
             if isinstance(mode, bytes):
                 mode = mode.decode()

@@ -101,11 +101,34 @@ def import_model(
 
     # Split initializers: float arrays are weights (trainable pytree);
     # everything else (int64 shape vectors, pad amounts, ...) is structural
-    # and stays baked into the traced graph as static numpy.
+    # and stays baked into the traced graph as static numpy. Exception:
+    # a FLOAT initializer consumed exclusively by structural input slots
+    # that the op registry requires to be trace-time constants (Resize
+    # roi/scales, Upsample scales, Pad constant_value — common exporter
+    # output) is structural too, never a trainable weight.
+    _FLOAT_STATIC_SLOTS = {
+        ("Resize", 1), ("Resize", 2), ("Upsample", 1), ("Pad", 2),
+    }
+    float_static_names = set()
+    float_traced_names = set()
+    for n in g.nodes:
+        for idx, iname in enumerate(n.inputs):
+            if not iname:
+                continue
+            if (n.op_type, idx) in _FLOAT_STATIC_SLOTS:
+                float_static_names.add(iname)
+            else:
+                float_traced_names.add(iname)
+    # Only force-static when NO consumer treats it as a tensor input.
+    float_static_names -= float_traced_names
+
     params: dict[str, np.ndarray] = {}
     static_init: dict[str, np.ndarray] = {}
     for name, arr in g.initializers.items():
         if arr.dtype in (np.float32, np.float16, np.float64):
+            if name in float_static_names:
+                static_init[name] = np.asarray(arr, dtype=np.float32)
+                continue
             # Normalize all float weights to f32 (some exporters store fp16;
             # TPU compute precision is then controlled via compute_dtype).
             params[name] = np.ascontiguousarray(arr, dtype=np.float32)
