@@ -83,6 +83,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 SUBCOMMANDS = (
     "parity", "sampler", "phases", "cadence", "detect", "gate",
     "cascade", "batch-sweep", "hand", "landmark", "cnnstage", "bf16",
+    "prescale-sweep",
 )
 
 # The bench face view: the fixture's tracked ROI at 1080p is a ~836 px
@@ -383,6 +384,52 @@ def cmd_phases(ctx):
             "fixed_step_cost_ms": round(full["full-pack1"] - full["full-auto"], 2),
             "onehot_matmul_ms_est": round(full["full-bf16sel"] - full["full-auto"], 2),
         })
+
+
+def cmd_prescale_sweep(ctx):
+    """Sweep the prescale selection blocking (prescale_rq x prescale_cq)
+    — round-4 follow-up to the phases finding that prescale is
+    fixed-cost-bound (M/RQ x M/CQ small ops per view), with device
+    bitwise parity per candidate."""
+    from zaru_tpu.ops.rotated_fast import rotated_sample_fast
+
+    B, steps = ctx.args.batch, ctx.args.steps
+    frames = ctx.frames(B)
+    img = jnp.asarray(ctx.frame[None])
+
+    candidates = [(None, None), (128, 128), (64, 256), (128, 256),
+                  (256, 256), (128, 512), (256, 512)]
+    # Device parity once per candidate at the three crop classes.
+    for rq, cq in candidates[1:]:
+        for size, theta in ((400.0, 0.3), (700.0, 0.9), (836.0, 1.0)):
+            rr = jnp.asarray(
+                np.asarray([[960, 540, size, size, theta]], np.float32)
+            )
+            base = np.asarray(rotated_sample_fast(
+                img, rr, 192, 192, 0.0, 255.0))
+            got = np.asarray(rotated_sample_fast(
+                img, rr, 192, 192, 0.0, 255.0,
+                prescale_rq=rq, prescale_cq=cq))
+            eq = bool((got == base).all())
+            ctx.emit({"check": "prescale_blocking_parity", "rq": rq,
+                      "cq": cq, "size": size, "theta": theta,
+                      "bitwise_equal": eq})
+            assert eq, f"rq={rq} cq={cq} parity FAILED at {size}/{theta}"
+
+    for theta, size in ((0.12, 836.0), (1.0, 836.0), (0.12, 360.0)):
+        rr = ctx.rects(B, theta, size)
+        for rq, cq in candidates:
+            label = f"rq{rq or 'def'}-cq{cq or 'def'}"
+            run = _sampler_scan(steps, prescale_rq=rq, prescale_cq=cq)
+            stats = ctx.windows(
+                run, frames, rr, label=f"presweep {label} {size}@{theta}"
+            )
+            ctx.emit({"bench": "prescale_sweep", "config": label,
+                      "rq": rq, "cq": cq, "theta": theta, "size": size,
+                      "batch": B,
+                      "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+                      "ms_per_step_median":
+                          round(stats["median"] / steps * 1e3, 2)})
 
 
 # ---------------------------------------------------------------------------

@@ -595,3 +595,30 @@ def test_view_pack_bitwise_and_fallback():
                             interpret=True, view_pack=2)
     )
     np.testing.assert_array_equal(got3, base3)
+
+
+def test_prescale_blocking_bitwise():
+    """prescale_rq/prescale_cq change only the selection chunking — the
+    windows always cover their chunk, so results are index-identical at
+    any admissible blocking (bigger chunks are the round-4 cure for the
+    prescale's per-chunk fixed cost; benchsuite prescale-sweep carries
+    the device numbers + device parity)."""
+    H, W = 720, 1280
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 2))
+    rrects = jnp.asarray(
+        np.asarray(
+            # stride-1 small view and a stride-2/3 tilted large view.
+            [[640, 360, 300, 300, 0.3], [640, 360, 700, 700, 1.0]],
+            np.float32,
+        )
+    )
+    args = (imgs, rrects, 192, 192, 0.0, 255.0)
+    base = np.asarray(rotated_sample_fast(*args, interpret=True))
+    for rq, cq in ((128, 128), (64, 256), (128, 256), (256, 512)):
+        got = np.asarray(
+            rotated_sample_fast(
+                *args, interpret=True, prescale_rq=rq, prescale_cq=cq
+            )
+        )
+        np.testing.assert_array_equal(got, base)

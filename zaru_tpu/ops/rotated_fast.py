@@ -95,18 +95,18 @@ PRESCALE_SMAX = 2    # stride bound of the round-3 original class
 PRESCALE_SMAXES = (1, 2, 3)  # the compiled crop classes, tightest first
 
 
-def _prescale_rw(smax: int) -> int:
+def _prescale_rw(smax: int, rq: int = PRESCALE_RQ) -> int:
     """Source rows read per row-chunk: smax*(RQ-1)+1 span + 7 sublane
     alignment, padded to a 128-multiple MXU contraction dim (128 at
-    stride 1, 256 at strides 2-3)."""
-    return -(-(smax * (PRESCALE_RQ - 1) + 1 + 7) // 128) * 128
+    stride 1, 256 at strides 2-3, at the default RQ)."""
+    return -(-(smax * (rq - 1) + 1 + 7) // 128) * 128
 
 
-def _prescale_cww(smax: int) -> int:
+def _prescale_cww(smax: int, cq: int = PRESCALE_CQ) -> int:
     """Source cols read per col-chunk: smax*(CQ-1)+1 span + 127 lane
     alignment, padded to a 128-multiple MXU contraction dim (256 / 384 /
-    512 at strides 1 / 2 / 3)."""
-    return -(-(smax * (PRESCALE_CQ - 1) + 1 + 127) // 128) * 128
+    512 at strides 1 / 2 / 3, at the default CQ)."""
+    return -(-(smax * (cq - 1) + 1 + 127) // 128) * 128
 
 
 def _rha(x):
@@ -173,7 +173,7 @@ def _prescale_take_u32(image_u32, rrect, M: int):
 
 def _prescale_pallas_kernel(
     coef_ref, frame_ref, out_ref, crop, rs, sem,
-    *, M, CH, CW, RW, CWW, H, W, S, dbuf,
+    *, M, CH, CW, RW, CWW, H, W, S, dbuf, RQ=PRESCALE_RQ, CQ=PRESCALE_CQ,
 ):
     """Per-view prescale: one bbox-covering crop DMA + blocked one-hot
     row/column int8 MXU selections (replaces the XLA gather lowering of
@@ -232,26 +232,26 @@ def _prescale_pallas_kernel(
         cp.start()
         cp.wait()
 
-    n_rc = M // PRESCALE_RQ
-    n_cc = M // PRESCALE_CQ
+    n_rc = M // RQ
+    n_cc = M // CQ
 
-    iota_rw = lax.broadcasted_iota(jnp.int32, (PRESCALE_RQ, RW), 1)
-    iota_q = lax.broadcasted_iota(jnp.int32, (PRESCALE_RQ, RW), 0)
-    iota_cw = lax.broadcasted_iota(jnp.int32, (CWW, PRESCALE_CQ), 0)
-    iota_j = lax.broadcasted_iota(jnp.int32, (CWW, PRESCALE_CQ), 1)
+    iota_rw = lax.broadcasted_iota(jnp.int32, (RQ, RW), 1)
+    iota_q = lax.broadcasted_iota(jnp.int32, (RQ, RW), 0)
+    iota_cw = lax.broadcasted_iota(jnp.int32, (CWW, CQ), 0)
+    iota_j = lax.broadcasted_iota(jnp.int32, (CWW, CQ), 1)
 
     for rc in range(n_rc):
         # Source rows for output rows [rc*RQ, rc*RQ+RQ): yi = ly + sy*q,
         # exact integers — no rounding wiggle. Window start aligns DOWN
         # to the 8-sublane grid and clamps inside the crop.
-        y_first = ly + sy * (rc * PRESCALE_RQ)
+        y_first = ly + sy * (rc * RQ)
         rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
         rw0 = pl.multiple_of(rw0, 8)
         win = crop[cur, pl.ds(rw0, RW), :]  # [RW, CW] u32
 
         # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
         # sources (OOB rows contribute 0 — the take path's fill).
-        yi = ly + sy * (iota_q + rc * PRESCALE_RQ)
+        yi = ly + sy * (iota_q + rc * RQ)
         yrel = yi - ystart - rw0
         oky = (yi >= 0) & (yi < H)
         ohy = ((iota_rw == yrel) & oky).astype(jnp.int8)  # [RQ, RW]
@@ -267,15 +267,15 @@ def _prescale_pallas_kernel(
             ch_i8 = (
                 ((w32 >> (8 * ch)) & 0xFF) - 128
             ).astype(jnp.int8)  # [RW, CW]
-            rs[ch * PRESCALE_RQ:(ch + 1) * PRESCALE_RQ, :] = jnp.dot(
+            rs[ch * RQ:(ch + 1) * RQ, :] = jnp.dot(
                 ohy, ch_i8, preferred_element_type=jnp.int32
             ).astype(jnp.int8)
 
         for cc in range(n_cc):
-            x_first = lx + sx * (cc * PRESCALE_CQ)
+            x_first = lx + sx * (cc * CQ)
             cw0 = jnp.clip(((x_first - xstart) // 128) * 128, 0, CW - CWW)
             cw0 = pl.multiple_of(cw0, 128)
-            xj = lx + sx * (iota_j + cc * PRESCALE_CQ)
+            xj = lx + sx * (iota_j + cc * CQ)
             xrel = xj - xstart - cw0
             okx = (xj >= 0) & (xj < W)
             ohx = ((iota_cw == xrel) & okx).astype(jnp.int8)  # [CWW, CQ]
@@ -283,7 +283,7 @@ def _prescale_pallas_kernel(
             sel = jnp.dot(
                 rs[:, pl.ds(cw0, CWW)], ohx,
                 preferred_element_type=jnp.int32,
-            ).reshape(3, PRESCALE_RQ, PRESCALE_CQ)
+            ).reshape(3, RQ, CQ)
 
             # Re-bias: +128 where the source index is in-frame. The
             # coverage predicate guarantees every in-frame source within
@@ -297,18 +297,27 @@ def _prescale_pallas_kernel(
             out32 = px[0] | (px[1] << 8) | (px[2] << 16)
             out_ref[
                 0,
-                rc * PRESCALE_RQ:(rc + 1) * PRESCALE_RQ,
-                cc * PRESCALE_CQ:(cc + 1) * PRESCALE_CQ,
+                rc * RQ:(rc + 1) * RQ,
+                cc * CQ:(cc + 1) * CQ,
             ] = out32.astype(jnp.uint32)
 
 
 def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
-                     dbuf=None):
+                     dbuf=None, rq=None, cq=None):
     """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
     -> ``[N, M, M] u32`` intermediates. Only called on batches whose
-    every view passes `_prescale_coverage_ok` for this crop class."""
+    every view passes `_prescale_coverage_ok` for this crop class.
+
+    ``rq``/``cq``: selection chunk blocking (default PRESCALE_RQ/CQ).
+    Bigger chunks trade wider contraction windows for fewer per-chunk
+    fixed costs — the kernel's measured limiter (benchsuite phases:
+    prescale is ~flat across crop classes whose DMA volume differs 3x,
+    i.e. dominated by the M/RQ x M/CQ grid of small ops per view)."""
     B, H, W = image_u32.shape
     N = rrect_flat.shape[0]
+    rq = rq or PRESCALE_RQ
+    cq = cq or PRESCALE_CQ
+    assert M % rq == 0 and M % cq == 0, (M, rq, cq)
     CH, CW = _crop_shape(H, W, M, smax)
 
     def coefs_one(rr):
@@ -362,14 +371,14 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
     # the observed stride-2 dbuf demand was ~4.3 MB above the buffer
     # sum) and headroom.
     vmem_demand = (
-        nbuf * CH * CW * 4 + 2 * M * M * 4 + 3 * PRESCALE_RQ * CW
+        nbuf * CH * CW * 4 + 2 * M * M * 4 + 3 * rq * CW
     )
     vmem_limit = min(vmem_demand + 8 * 2**20, 100 * 2**20)
 
     kern = functools.partial(
         _prescale_pallas_kernel, M=M, CH=CH, CW=CW,
-        RW=_prescale_rw(smax), CWW=_prescale_cww(smax), H=H, W=W, S=S,
-        dbuf=dbuf,
+        RW=_prescale_rw(smax, rq), CWW=_prescale_cww(smax, cq),
+        H=H, W=W, S=S, dbuf=dbuf, RQ=rq, CQ=cq,
     )
     return pl.pallas_call(
         kern,
@@ -384,7 +393,7 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
         out_shape=jax.ShapeDtypeStruct((N, M, M), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((nbuf, CH, CW), jnp.uint32),
-            pltpu.VMEM((3 * PRESCALE_RQ, CW), jnp.int8),
+            pltpu.VMEM((3 * rq, CW), jnp.int8),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         # The double-buffer carries DMA state across grid steps: the
@@ -413,12 +422,16 @@ def _crop_shape(H: int, W: int, M: int = PRESCALE_M, smax: int = PRESCALE_SMAX):
     return CH, CW
 
 
-def _prescale_coverage_ok(rrect_flat, M, H, W, smax=PRESCALE_SMAX):
+def _prescale_coverage_ok(rrect_flat, M, H, W, smax=PRESCALE_SMAX,
+                          rq=None, cq=None):
     """Batch-scalar predicate: every view's crop window (of the ``smax``
     crop class) covers all its in-frame sample indices AND its strides
     fit the class's static chunk windows (<= smax)."""
     CH, CW = _crop_shape(H, W, M, smax)
-    if CH < _prescale_rw(smax) or CW < _prescale_cww(smax):
+    if (
+        CH < _prescale_rw(smax, rq or PRESCALE_RQ)
+        or CW < _prescale_cww(smax, cq or PRESCALE_CQ)
+    ):
         return jnp.asarray(False)
 
     xlim = ((W - CW) // 128) * 128 + CW  # cols the clamped window can reach
@@ -731,7 +744,7 @@ def _rotate_one_view(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
         "pallas_prescale", "fuse3", "resident", "xroll", "prescale_dbuf",
-        "view_pack",
+        "view_pack", "prescale_rq", "prescale_cq",
     ),
 )
 def rotated_sample_fast(
@@ -756,6 +769,8 @@ def rotated_sample_fast(
     xroll: bool | None = None,
     prescale_dbuf: bool | None = None,
     view_pack: int | None = None,
+    prescale_rq: int | None = None,
+    prescale_cq: int | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -830,7 +845,14 @@ def rotated_sample_fast(
       view count divides evenly, and the packed blocks stay
       VMEM-friendly (pack·M²·4 B <= 4 MB). Default (None): auto — the
       largest admissible pack in {4, 2} (face-shape sampler measured
-      6.73 -> 5.66 ms/step at batch 128, examples/r3bench9.py).
+      6.73 -> 5.66 ms/step at batch 128, benchsuite sampler pack arms).
+    - ``prescale_rq`` / ``prescale_cq``: Pallas-prescale selection chunk
+      blocking (output rows / cols per chunk; must divide M). Bigger
+      chunks cut the per-chunk fixed cost — the prescale's measured
+      limiter — at the price of wider one-hot contraction windows
+      (RW/CWW grow with smax·chunk). Index-identical results at any
+      admissible blocking (the windows always cover their chunk).
+      Default (None): PRESCALE_RQ/CQ.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -1033,7 +1055,7 @@ def rotated_sample_fast(
             img32, rrf = ops
             return _prescale_pallas(
                 img32, rrf.reshape(N, 5), M, S, interpret, smax,
-                prescale_dbuf,
+                prescale_dbuf, prescale_rq, prescale_cq,
             )
 
         return path
@@ -1048,10 +1070,14 @@ def rotated_sample_fast(
         chain = take_path
         for smax_c in reversed(PRESCALE_SMAXES):
             _ch, _cw = _crop_shape(H, W, M, smax_c)
-            if _ch < _prescale_rw(smax_c) or _cw < _prescale_cww(smax_c):
+            if (
+                _ch < _prescale_rw(smax_c, prescale_rq or PRESCALE_RQ)
+                or _cw < _prescale_cww(smax_c, prescale_cq or PRESCALE_CQ)
+            ):
                 continue
             ok = _prescale_coverage_ok(
-                rrect_flat.reshape(N, 5), M, H, W, smax_c
+                rrect_flat.reshape(N, 5), M, H, W, smax_c,
+                prescale_rq, prescale_cq,
             )
             chain = (
                 lambda ok, path, prev: (
