@@ -91,16 +91,15 @@ DETECT_EVERY = 9
 # is to keep measuring until the windows plateau, not to idle.)
 def quiet_fps(batch: int) -> float:
     # Batch 8 is dominated by batch-independent per-step cost. Headline
-    # batch: the round-3 sampler (Pallas crop-resident prescale,
-    # stride-1/2/3 crop classes, double-buffered crop DMA, banded x-roll
-    # windows) measured 9,891 fps quiet at batch 128 and 12,927 at batch
-    # 384; round 4's view_pack auto default raises the face sampler
-    # further. Early-exit sits just under the quiet rate so a healthy
-    # run records the real headline; contended runs fall through to the
-    # plateau rule instead of stopping early.
+    # batch: with round 4's view_pack auto default the production
+    # cadence measured 14,219 fps best / 13,912 median at batch 384 and
+    # 10,128 at batch 128 (benchsuite batch-sweep, 2026-08-19).
+    # Early-exit sits just under the quiet rate so a healthy run records
+    # the real headline; contended runs fall through to the plateau rule
+    # instead of stopping early.
     if batch >= 300:
-        return 12500.0
-    return 9600.0 if batch >= 64 else 1050.0
+        return 13800.0
+    return 9900.0 if batch >= 64 else 1050.0
 
 
 def log(*a):
