@@ -418,9 +418,12 @@ def main() -> None:
     if sys.argv[1:2] == ["--prewarm"]:
         # Populate the persistent compile cache for both configurations
         # (run during the build session so the driver's run compiles from
-        # cache). Short budget: one window each is enough.
+        # cache). One window each is enough, but the BUDGET must cover a
+        # fresh remote compile (70-900 s observed): ChildRun.wait allows
+        # budget+240 grace, and killing mid-compile writes NO cache entry
+        # (the 30 s budget this once had silently left batch-8 cold).
         for batch in (BATCH_LARGE, BATCH_SMALL):
-            run = ChildRun(batch, 30.0, measure_p50=(batch == BATCH_SMALL))
+            run = ChildRun(batch, 700.0, measure_p50=(batch == BATCH_SMALL))
             run.wait()
             log(f"prewarm B={batch}: best {run.best_fps:.0f} fps")
         return

@@ -397,6 +397,36 @@ def cmd_prescale_sweep(ctx):
     frames = ctx.frames(B)
     img = jnp.asarray(ctx.frame[None])
 
+    # Round-4 addendum: prescale view-packing A/B (device parity + the
+    # full-sampler cost at prescale_pack 1 vs the packed auto default).
+    for size, theta in ((400.0, 0.3), (700.0, 0.9), (836.0, 1.0)):
+        rr2 = jnp.concatenate([
+            ctx.rects(2, theta, size, cx=960.0, cy=540.0)
+        ])
+        f2 = ctx.frames(2)
+        base = np.asarray(rotated_sample_fast(
+            f2, rr2, 192, 192, 0.0, 255.0, prescale_pack=1))
+        got = np.asarray(rotated_sample_fast(
+            f2, rr2, 192, 192, 0.0, 255.0, prescale_pack=2))
+        eq = bool((got == base).all())
+        ctx.emit({"check": "prescale_pack_parity", "pack": 2,
+                  "size": size, "theta": theta, "bitwise_equal": eq})
+        assert eq, f"prescale_pack parity FAILED at {size}/{theta}"
+    for theta, size in ((0.12, 836.0), (1.0, 836.0), (0.12, 360.0)):
+        rr = ctx.rects(B, theta, size)
+        for ppack, label in ((1, "ppack1"), (None, "ppack-auto")):
+            run = _sampler_scan(steps, prescale_pack=ppack)
+            stats = ctx.windows(
+                run, frames, rr, label=f"presweep {label} {size}@{theta}"
+            )
+            ctx.emit({"bench": "prescale_pack", "config": label,
+                      "theta": theta, "size": size, "batch": B,
+                      "ms_per_step": round(stats["best"] / steps * 1e3, 2),
+                      "ms_per_step_median":
+                          round(stats["median"] / steps * 1e3, 2)})
+    if ctx.args.only == "pack":
+        return
+
     candidates = [(None, None), (128, 128), (64, 256), (128, 256),
                   (256, 256), (128, 512), (256, 512)]
     # Device parity once per candidate at the three crop classes.

@@ -622,3 +622,49 @@ def test_prescale_blocking_bitwise():
             )
         )
         np.testing.assert_array_equal(got, base)
+
+
+def test_prescale_pack_bitwise_and_fallback():
+    """prescale_pack runs N/pack prescale grid steps with identical
+    per-view math (crop dbuf alternates over the GLOBAL view sequence) —
+    packed results must be bitwise-equal, and odd view counts must
+    silently fall back to pack=1."""
+    H, W = 720, 1280
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 4))
+    rrects = jnp.asarray(
+        np.asarray(
+            [[640, 360, 300, 300, 0.3], [400, 300, 150, 150, -1.2],
+             [700, 380, 420, 420, 2.0], [640, 360, 700, 700, 1.0]],
+            np.float32,
+        )
+    )
+    args = (imgs, rrects, 192, 192, 0.0, 255.0)
+    base = np.asarray(
+        rotated_sample_fast(*args, interpret=True, prescale_pack=1)
+    )
+    for pack in (2, 4, None):
+        got = np.asarray(
+            rotated_sample_fast(*args, interpret=True, prescale_pack=pack)
+        )
+        np.testing.assert_array_equal(got, base)
+    # dbuf OFF packs too (single crop buffer, serial DMA per view).
+    got_nodbuf = np.asarray(
+        rotated_sample_fast(
+            *args, interpret=True, prescale_pack=4, prescale_dbuf=False
+        )
+    )
+    base_nodbuf = np.asarray(
+        rotated_sample_fast(
+            *args, interpret=True, prescale_pack=1, prescale_dbuf=False
+        )
+    )
+    np.testing.assert_array_equal(got_nodbuf, base_nodbuf)
+    # Odd N: silent fallback to pack=1.
+    b3 = np.asarray(rotated_sample_fast(imgs[:3], rrects[:3], 192, 192,
+                                        0.0, 255.0, interpret=True,
+                                        prescale_pack=1))
+    g3 = np.asarray(rotated_sample_fast(imgs[:3], rrects[:3], 192, 192,
+                                        0.0, 255.0, interpret=True,
+                                        prescale_pack=4))
+    np.testing.assert_array_equal(g3, b3)

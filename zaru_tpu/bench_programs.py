@@ -74,16 +74,22 @@ def build_cascade_scan(tracker, scan_steps: int, detect_every: int):
 
 
 def measure_tunnel_roundtrip(n: int = 12) -> float:
-    """Median seconds for a trivial device->host readback — the tunnel
-    floor to subtract from single-step latencies for the on-device
-    estimate (steady trivial roundtrip ~= 32 ms on this box)."""
+    """Median seconds for a trivial dispatch + device->host readback —
+    the tunnel floor to subtract from single-step latencies for the
+    on-device estimate (steady trivial roundtrip ~= 32 ms on this box).
+
+    Each sample runs a tiny jitted op with a FRESH operand so the
+    result is a new device buffer: reading back the same array twice
+    hits jax's host-side copy cache and measures ~0 (the first prewarm
+    run recorded exactly that artifact)."""
     import time
 
-    tiny = jnp.zeros((8,), jnp.float32) + 1.0
-    np.asarray(tiny)  # compile + first transfer
+    tiny = jax.device_put(np.zeros((8,), np.float32))
+    bump = jax.jit(lambda x, c: x + c)
+    np.asarray(bump(tiny, 0.0))  # compile + first transfer
     samples = []
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
-        np.asarray(tiny)
+        np.asarray(bump(tiny, float(i + 1)))
         samples.append(time.perf_counter() - t0)
     return float(np.median(samples))

@@ -174,23 +174,32 @@ def _prescale_take_u32(image_u32, rrect, M: int):
 def _prescale_pallas_kernel(
     coef_ref, frame_ref, out_ref, crop, rs, sem,
     *, M, CH, CW, RW, CWW, H, W, S, dbuf, RQ=PRESCALE_RQ, CQ=PRESCALE_CQ,
+    pack=1,
 ):
     """Per-view prescale: one bbox-covering crop DMA + blocked one-hot
     row/column int8 MXU selections (replaces the XLA gather lowering of
     `jnp.take`, which touches rows at ~15 GB/s effective).
 
-    Grid: ``(N,)``. coefs (SMEM i32 [N, 6]): ystart, xstart (crop window
-    origin, 8/128-aligned), ly_eff, lx_eff (first sample index:
-    ``L + (s-1)//2``), sy, sx (integer strides, <= the class's smax).
+    Grid: ``(N // pack,)``. coefs (SMEM i32 [N, 6]): ystart, xstart
+    (crop window origin, 8/128-aligned), ly_eff, lx_eff (first sample
+    index: ``L + (s-1)//2``), sy, sx (integer strides, <= the class's
+    smax).
 
     ``dbuf``: the crop scratch is ``[2, CH, CW]`` (``[1, CH, CW]`` when
-    off) and view v+1's crop DMA is issued before view v's compute
+    off) and view g+1's crop DMA is issued before view g's compute
     (classic double buffering: the ~0.9 ms of serial crop DMA at batch
     128 / stride 2 hides under the selection matmuls). Default ON for
     every class — the caller raises the scoped-vmem limit to fit two
     crops; the flag remains as the A/B knob.
+
+    ``pack``: views processed per grid step (same per-view math run
+    sequentially over the packed out block; crop double-buffering
+    alternates across the GLOBAL view sequence, so it works across pack
+    boundaries unchanged). Amortizes the per-grid-step fixed cost the
+    same way the rotate kernel's view_pack does — bit-identical results.
     """
-    v = pl.program_id(0)
+    step = pl.program_id(0)
+    n_views = pl.num_programs(0) * pack
 
     def dma_for(view, slot):
         """Crop DMA for ``view`` into buffer ``slot``. The crop origin
@@ -207,31 +216,6 @@ def _prescale_pallas_kernel(
             sem.at[slot],
         )
 
-    ly = coef_ref[v, 2]
-    lx = coef_ref[v, 3]
-    sy = coef_ref[v, 4]
-    sx = coef_ref[v, 5]
-    ystart = pl.multiple_of(coef_ref[v, 0], 8)
-    xstart = pl.multiple_of(coef_ref[v, 1], 128)
-
-    if dbuf:
-        cur = lax.rem(v, 2)
-
-        @pl.when(v == 0)
-        def _():
-            dma_for(0, 0).start()
-
-        @pl.when(v + 1 < pl.num_programs(0))
-        def _():
-            dma_for(v + 1, lax.rem(v + 1, 2)).start()
-
-        dma_for(v, cur).wait()
-    else:
-        cur = 0
-        cp = dma_for(v, 0)
-        cp.start()
-        cp.wait()
-
     n_rc = M // RQ
     n_cc = M // CQ
 
@@ -240,84 +224,127 @@ def _prescale_pallas_kernel(
     iota_cw = lax.broadcasted_iota(jnp.int32, (CWW, CQ), 0)
     iota_j = lax.broadcasted_iota(jnp.int32, (CWW, CQ), 1)
 
-    for rc in range(n_rc):
-        # Source rows for output rows [rc*RQ, rc*RQ+RQ): yi = ly + sy*q,
-        # exact integers — no rounding wiggle. Window start aligns DOWN
-        # to the 8-sublane grid and clamps inside the crop.
-        y_first = ly + sy * (rc * RQ)
-        rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
-        rw0 = pl.multiple_of(rw0, 8)
-        win = crop[cur, pl.ds(rw0, RW), :]  # [RW, CW] u32
+    for pv in range(pack):
+        g = step * pack + pv  # global view index
 
-        # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
-        # sources (OOB rows contribute 0 — the take path's fill).
-        yi = ly + sy * (iota_q + rc * RQ)
-        yrel = yi - ystart - rw0
-        oky = (yi >= 0) & (yi < H)
-        ohy = ((iota_rw == yrel) & oky).astype(jnp.int8)  # [RQ, RW]
-        # [RQ, 1] in-frame row mask for the final re-bias.
-        oky1 = oky[:, :1].astype(jnp.int32)
+        if dbuf:
+            cur = lax.rem(g, 2)
+            if pv == 0:
+                @pl.when(g == 0)
+                def _():
+                    dma_for(0, 0).start()
 
-        # Row-select each channel: values re-biased to [-128, 127] so the
-        # products stay exact in int8 x int8 -> int32 MXU math; the
-        # results ((px-128) or 0) fit int8 exactly and land in the rs
-        # scratch so column chunks can window them with pl.ds.
-        w32 = win.astype(jnp.int32)
-        for ch in range(3):
-            ch_i8 = (
-                ((w32 >> (8 * ch)) & 0xFF) - 128
-            ).astype(jnp.int8)  # [RW, CW]
-            rs[ch * RQ:(ch + 1) * RQ, :] = jnp.dot(
-                ohy, ch_i8, preferred_element_type=jnp.int32
-            ).astype(jnp.int8)
+            @pl.when(g + 1 < n_views)
+            def _():
+                dma_for(g + 1, lax.rem(g + 1, 2)).start()
 
-        for cc in range(n_cc):
-            x_first = lx + sx * (cc * CQ)
-            cw0 = jnp.clip(((x_first - xstart) // 128) * 128, 0, CW - CWW)
-            cw0 = pl.multiple_of(cw0, 128)
-            xj = lx + sx * (iota_j + cc * CQ)
-            xrel = xj - xstart - cw0
-            okx = (xj >= 0) & (xj < W)
-            ohx = ((iota_cw == xrel) & okx).astype(jnp.int8)  # [CWW, CQ]
+            dma_for(g, cur).wait()
+        else:
+            cur = 0
+            cp = dma_for(g, 0)
+            cp.start()
+            cp.wait()
 
-            sel = jnp.dot(
-                rs[:, pl.ds(cw0, CWW)], ohx,
-                preferred_element_type=jnp.int32,
-            ).reshape(3, RQ, CQ)
+        ly = coef_ref[g, 2]
+        lx = coef_ref[g, 3]
+        sy = coef_ref[g, 4]
+        sx = coef_ref[g, 5]
+        ystart = pl.multiple_of(coef_ref[g, 0], 8)
+        xstart = pl.multiple_of(coef_ref[g, 1], 128)
 
-            # Re-bias: +128 where the source index is in-frame. The
-            # coverage predicate guarantees every in-frame source within
-            # the view bbox (+ the rotate kernel's rounding wiggle) is in
-            # the crop window, so cells the rotate kernel can read are
-            # exact; in-frame cells of the M-grid far outside the bbox
-            # may miss the window (empty one-hot -> 128 here vs a real
-            # pixel on the take path) but are never selected downstream.
-            ind = oky1 * okx[:1, :].astype(jnp.int32)  # [RQ, CQ]
-            px = sel + 128 * ind[None]
-            out32 = px[0] | (px[1] << 8) | (px[2] << 16)
-            out_ref[
-                0,
-                rc * RQ:(rc + 1) * RQ,
-                cc * CQ:(cc + 1) * CQ,
-            ] = out32.astype(jnp.uint32)
+        for rc in range(n_rc):
+            # Source rows for output rows [rc*RQ, rc*RQ+RQ): yi = ly +
+            # sy*q, exact integers — no rounding wiggle. Window start
+            # aligns DOWN to the 8-sublane grid and clamps inside the
+            # crop.
+            y_first = ly + sy * (rc * RQ)
+            rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
+            rw0 = pl.multiple_of(rw0, 8)
+            win = crop[cur, pl.ds(rw0, RW), :]  # [RW, CW] u32
+
+            # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
+            # sources (OOB rows contribute 0 — the take path's fill).
+            yi = ly + sy * (iota_q + rc * RQ)
+            yrel = yi - ystart - rw0
+            oky = (yi >= 0) & (yi < H)
+            ohy = ((iota_rw == yrel) & oky).astype(jnp.int8)  # [RQ, RW]
+            # [RQ, 1] in-frame row mask for the final re-bias.
+            oky1 = oky[:, :1].astype(jnp.int32)
+
+            # Row-select each channel: values re-biased to [-128, 127]
+            # so the products stay exact in int8 x int8 -> int32 MXU
+            # math; the results ((px-128) or 0) fit int8 exactly and
+            # land in the rs scratch so column chunks can window them
+            # with pl.ds.
+            w32 = win.astype(jnp.int32)
+            for ch in range(3):
+                ch_i8 = (
+                    ((w32 >> (8 * ch)) & 0xFF) - 128
+                ).astype(jnp.int8)  # [RW, CW]
+                rs[ch * RQ:(ch + 1) * RQ, :] = jnp.dot(
+                    ohy, ch_i8, preferred_element_type=jnp.int32
+                ).astype(jnp.int8)
+
+            for cc in range(n_cc):
+                x_first = lx + sx * (cc * CQ)
+                cw0 = jnp.clip(
+                    ((x_first - xstart) // 128) * 128, 0, CW - CWW
+                )
+                cw0 = pl.multiple_of(cw0, 128)
+                xj = lx + sx * (iota_j + cc * CQ)
+                xrel = xj - xstart - cw0
+                okx = (xj >= 0) & (xj < W)
+                ohx = ((iota_cw == xrel) & okx).astype(jnp.int8)
+
+                sel = jnp.dot(
+                    rs[:, pl.ds(cw0, CWW)], ohx,
+                    preferred_element_type=jnp.int32,
+                ).reshape(3, RQ, CQ)
+
+                # Re-bias: +128 where the source index is in-frame. The
+                # coverage predicate guarantees every in-frame source
+                # within the view bbox (+ the rotate kernel's rounding
+                # wiggle) is in the crop window, so cells the rotate
+                # kernel can read are exact; in-frame cells of the
+                # M-grid far outside the bbox may miss the window (empty
+                # one-hot -> 128 here vs a real pixel on the take path)
+                # but are never selected downstream.
+                ind = oky1 * okx[:1, :].astype(jnp.int32)  # [RQ, CQ]
+                px = sel + 128 * ind[None]
+                out32 = px[0] | (px[1] << 8) | (px[2] << 16)
+                out_ref[
+                    pv,
+                    rc * RQ:(rc + 1) * RQ,
+                    cc * CQ:(cc + 1) * CQ,
+                ] = out32.astype(jnp.uint32)
 
 
 def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
-                     dbuf=None, rq=None, cq=None):
+                     dbuf=None, rq=None, cq=None, pack=None):
     """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
     -> ``[N, M, M] u32`` intermediates. Only called on batches whose
     every view passes `_prescale_coverage_ok` for this crop class.
 
     ``rq``/``cq``: selection chunk blocking (default PRESCALE_RQ/CQ).
-    Bigger chunks trade wider contraction windows for fewer per-chunk
-    fixed costs — the kernel's measured limiter (benchsuite phases:
-    prescale is ~flat across crop classes whose DMA volume differs 3x,
-    i.e. dominated by the M/RQ x M/CQ grid of small ops per view)."""
+    Swept on device and measured a NO-OP for the full sampler
+    (benchsuite prescale-sweep) — kept as A/B knobs.
+
+    ``pack``: views per grid step (the rotate kernel's view_pack cure
+    tried on the prescale's ~18 us/view stride-independent cost).
+    Measured a NO-OP on device — unlike the rotate kernel, a prescale
+    view's work is one serial dependency chain (crop DMA wait -> row
+    selects -> col selects through the rs scratch), so packing
+    amortizes nothing and slightly hurts tilted shapes (5.89 -> 5.97
+    ms/step at theta=1.0; benchsuite prescale-sweep pack arms).
+    Default (None): 1; the knob + device parity remain as the record.
+    Bit-identical results at any pack."""
     B, H, W = image_u32.shape
     N = rrect_flat.shape[0]
     rq = rq or PRESCALE_RQ
     cq = cq or PRESCALE_CQ
     assert M % rq == 0 and M % cq == 0, (M, rq, cq)
+    if pack is None or pack < 1 or N % pack:
+        pack = 1
     CH, CW = _crop_shape(H, W, M, smax)
 
     def coefs_one(rr):
@@ -371,24 +398,24 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
     # the observed stride-2 dbuf demand was ~4.3 MB above the buffer
     # sum) and headroom.
     vmem_demand = (
-        nbuf * CH * CW * 4 + 2 * M * M * 4 + 3 * rq * CW
+        nbuf * CH * CW * 4 + 2 * pack * M * M * 4 + 3 * rq * CW
     )
     vmem_limit = min(vmem_demand + 8 * 2**20, 100 * 2**20)
 
     kern = functools.partial(
         _prescale_pallas_kernel, M=M, CH=CH, CW=CW,
         RW=_prescale_rw(smax, rq), CWW=_prescale_cww(smax, cq),
-        H=H, W=W, S=S, dbuf=dbuf, RQ=rq, CQ=cq,
+        H=H, W=W, S=S, dbuf=dbuf, RQ=rq, CQ=cq, pack=pack,
     )
     return pl.pallas_call(
         kern,
-        grid=(N,),
+        grid=(N // pack,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 6]
             pl.BlockSpec(memory_space=pl.ANY),      # frames [B, H, W] u32
         ],
         out_specs=pl.BlockSpec(
-            (1, M, M), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+            (pack, M, M), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, M, M), jnp.uint32),
         scratch_shapes=[
@@ -744,7 +771,7 @@ def _rotate_one_view(
         "out_w", "out_h", "lo", "hi", "interpret", "prescale_m", "band_p",
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
         "pallas_prescale", "fuse3", "resident", "xroll", "prescale_dbuf",
-        "view_pack", "prescale_rq", "prescale_cq",
+        "view_pack", "prescale_rq", "prescale_cq", "prescale_pack",
     ),
 )
 def rotated_sample_fast(
@@ -771,6 +798,7 @@ def rotated_sample_fast(
     view_pack: int | None = None,
     prescale_rq: int | None = None,
     prescale_cq: int | None = None,
+    prescale_pack: int | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -847,12 +875,17 @@ def rotated_sample_fast(
       largest admissible pack in {4, 2} (face-shape sampler measured
       6.73 -> 5.66 ms/step at batch 128, benchsuite sampler pack arms).
     - ``prescale_rq`` / ``prescale_cq``: Pallas-prescale selection chunk
-      blocking (output rows / cols per chunk; must divide M). Bigger
-      chunks cut the per-chunk fixed cost — the prescale's measured
-      limiter — at the price of wider one-hot contraction windows
-      (RW/CWW grow with smax·chunk). Index-identical results at any
-      admissible blocking (the windows always cover their chunk).
-      Default (None): PRESCALE_RQ/CQ.
+      blocking (output rows / cols per chunk; must divide M). Wider
+      chunks mean fewer per-chunk ops but wider one-hot contraction
+      windows (RW/CWW grow with smax·chunk); swept on device and
+      measured a NO-OP for the full sampler (benchsuite
+      prescale-sweep). Index-identical results at any admissible
+      blocking. Default (None): PRESCALE_RQ/CQ.
+    - ``prescale_pack``: Pallas-prescale views per grid step (the
+      rotate kernel's view_pack tried on the prescale). Measured a
+      NO-OP on device (a prescale view is one serial dependency chain;
+      benchsuite prescale-sweep pack arms) — default 1, knob kept as
+      the A/B record. Bit-identical results at any pack.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -1055,7 +1088,7 @@ def rotated_sample_fast(
             img32, rrf = ops
             return _prescale_pallas(
                 img32, rrf.reshape(N, 5), M, S, interpret, smax,
-                prescale_dbuf, prescale_rq, prescale_cq,
+                prescale_dbuf, prescale_rq, prescale_cq, prescale_pack,
             )
 
         return path
