@@ -275,7 +275,12 @@ def _prescale_pallas_kernel(
             # so the products stay exact in int8 x int8 -> int32 MXU
             # math; the results ((px-128) or 0) fit int8 exactly and
             # land in the rs scratch so column chunks can window them
-            # with pl.ds.
+            # with pl.ds. (An rc%2-alternating rs double buffer —
+            # removing the WAR hazard between chunk rc's column matmuls
+            # and chunk rc+1's unpack/row matmuls — was tried in round 4
+            # and measured flat-to-worse on device: Mosaic's scheduler
+            # does not exploit the extra ILP here. Reverted; single
+            # buffer stands.)
             w32 = win.astype(jnp.int32)
             for ch in range(3):
                 ch_i8 = (
