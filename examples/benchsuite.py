@@ -766,7 +766,12 @@ def cmd_hand(ctx):
             ctx.emit({"bench": "hand_sampler", "config": label,
                       "error": f"{type(e).__name__}: {e}"[:200]})
 
-    # Full hand cascade at the shipped config.
+    # Full hand cascade at the shipped config. NB: the fixture photo has
+    # NO hands, so every slot stays lost and the batch gate redetects
+    # EVERY frame — this arm measures the all-lost WORST case, not the
+    # steady tracking state (examples/handbench.py measures steady state
+    # with established slots; r3's 20.9 ms/step / 3,057 fps headline is
+    # that number).
     tr = MultiHandTracker(max_hands=S)
     st = tr.init_state(batch=B)
 
@@ -785,7 +790,8 @@ def cmd_hand(ctx):
         lambda p, s, f: run_cascade(p, s, f)[1], tr.params, st, frames,
         label="hand cascade",
     )
-    ctx.emit({"bench": "hand_cascade", "config": "shipped default",
+    ctx.emit({"bench": "hand_cascade",
+              "config": "all-lost worst case (fixture has no hands)",
               "ms_per_step": round(stats["best"] / steps * 1e3, 2),
               "fps": round(B * steps / stats["best"])})
 
