@@ -163,13 +163,20 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
         np.asarray(confs)
         return batch * SCAN_STEPS / (time.perf_counter() - t0)
 
-    def report_p50():
+    def report_p50(best_fps: float):
         # Reuse the tracker's pre-built gated jit (avoid a duplicate
         # full-pipeline compile inside the measurement budget). The
-        # tunnel's trivial-roundtrip median is measured alongside and
-        # subtracted for the on-device estimate — a reader of the JSON
-        # alone must not mistake ~32 ms of tunnel for serving latency.
+        # single-step p50 is tunnel-inclusive: per-call dispatch through
+        # the tunnel costs far more than a trivial roundtrip (~110 ms vs
+        # ~30 ms observed — args/outputs shipping dominates), so the
+        # honest ON-DEVICE estimate comes from the scan-amortized
+        # windows (one dispatch per 16 steps), with the measured trivial
+        # roundtrip's share removed.
         tunnel_ms = bp.measure_tunnel_roundtrip() * 1e3
+        p50_dev = None
+        if best_fps > 0:
+            scan_step_ms = 1e3 * batch / best_fps
+            p50_dev = max(0.0, scan_step_ms - tunnel_ms / SCAN_STEPS)
         _s, out = tracker.run_frames_gated(state, frames)
         np.asarray(out["confidence"])  # compile
         lats = []
@@ -179,7 +186,6 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
             np.asarray(out["landmarks"])
             lats.append(time.perf_counter() - t0)
         p50 = float(np.percentile(lats, 50) * 1e3)
-        p50_dev = max(0.0, p50 - tunnel_ms)
         print(
             "PARTIAL "
             + json.dumps({
@@ -190,8 +196,9 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
             flush=True,
         )
         log(
-            f"[B={batch}] single-step p50 {p50:.2f}ms "
-            f"(tunnel {tunnel_ms:.1f}ms, on-device est {p50_dev:.2f}ms)"
+            f"[B={batch}] single-step p50 {p50:.2f}ms tunnel-inclusive "
+            f"(trivial roundtrip {tunnel_ms:.1f}ms; scan-amortized "
+            f"on-device est {p50_dev and round(p50_dev, 2)}ms/step)"
         )
 
     best = 0.0
@@ -226,7 +233,7 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
             log(f"[B={batch}] budget exhausted after {len(history)} windows")
             break
     if measure_p50:
-        report_p50()
+        report_p50(best)
     print("RESULT " + json.dumps({"fps": best}), flush=True)
 
 
@@ -389,8 +396,9 @@ def print_final():
                 if r.get("p50_device_ms") is not None:
                     s += (
                         f" tunnel-inclusive (~{r['p50_device_ms']:.2f}ms"
-                        " on-device: ~32ms of the single-step p50 is the"
-                        " remote-tunnel roundtrip)"
+                        "/step on-device, scan-amortized: per-dispatch"
+                        " remote-tunnel overhead dominates the"
+                        " single-step p50)"
                     )
             parts.append(s)
     print(
