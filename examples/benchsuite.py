@@ -259,6 +259,36 @@ def cmd_parity(ctx):
     ctx.emit({"check": "viewpack_parity", "mode": "rolled224",
               "pack": 4, "bitwise_equal": eq})
     assert eq, "view_pack=4 rolled parity FAILED"
+
+    # Fused-kernel parity (round 4, TODO #1a): the single-kernel
+    # prescale+rotate must be bitwise-equal to the two-kernel path on
+    # every serving config and crop class — face banded auto (stride
+    # 1/2/3 incl. tilt), the rolled hand shape, and a mixed batch.
+    for label, theta, size in (
+        ("face-s1", 0.3, 360.0), ("face-s2", 0.12, 836.0),
+        ("face-s3-tilt", 1.0, 836.0),
+    ):
+        rr = ctx.rects(B, theta, size=size)
+        base = np.asarray(jax.jit(
+            lambda f, r: rotated_sample_fast(f, r, 192, 192)
+        )(frames, rr))
+        got = np.asarray(jax.jit(
+            lambda f, r: rotated_sample_fast(f, r, 192, 192, fused=True)
+        )(frames, rr))
+        eq = bool((got == base).all())
+        ctx.emit({"check": "fused_parity", "config": label,
+                  "bitwise_equal": eq})
+        assert eq, f"fused parity FAILED at {label}"
+    base = np.asarray(jax.jit(
+        lambda f, r: rotated_sample_fast(f, r, 224, 224, **kw)
+    )(frames, rrh))
+    got = np.asarray(jax.jit(
+        lambda f, r: rotated_sample_fast(f, r, 224, 224, fused=True, **kw)
+    )(frames, rrh))
+    eq = bool((got == base).all())
+    ctx.emit({"check": "fused_parity", "config": "hand-rolled224",
+              "bitwise_equal": eq})
+    assert eq, "fused parity FAILED at hand-rolled224"
     log("device parity OK")
 
 
@@ -279,6 +309,9 @@ def cmd_sampler(ctx):
         ("auto", 0.12, 836.0, {}),
         ("auto-th1.0", 1.0, 836.0, {}),
         ("auto-360px", 0.12, 360.0, {}),
+        ("fused", 0.12, 836.0, {"fused": True}),
+        ("fused-th1.0", 1.0, 836.0, {"fused": True}),
+        ("fused-360px", 0.12, 360.0, {"fused": True}),
         ("pack1 (r3 baseline)", 0.12, 836.0, {"view_pack": 1}),
         ("pack1-th1.0 (r3 baseline)", 1.0, 836.0, {"view_pack": 1}),
         ("pack2", 0.12, 836.0, {"view_pack": 2}),
@@ -739,6 +772,7 @@ def cmd_hand(ctx):
     M256 = dict(prescale_m=256, band_p=256, col_split=1)
     for label, opts in (
         ("rolled-auto (hand default)", dict(square_views=True, **M256)),
+        ("rolled-fused", dict(square_views=True, fused=True, **M256)),
         ("rolled-pack1 (r3 baseline)",
          dict(square_views=True, view_pack=1, **M256)),
         ("banded-auto-M256", dict(prescale_m=256)),

@@ -40,7 +40,7 @@ def main():
     from zaru_tpu.pipeline import FaceTracker
     from zaru_tpu.pipeline import _ops
     from zaru_tpu.ops.sampling import view_to_tensor_core
-    from bench import make_1080p_frame
+    from zaru_tpu.bench_programs import make_1080p_frame
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     frame = make_1080p_frame()

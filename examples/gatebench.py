@@ -44,7 +44,7 @@ def main():
     from zaru_tpu.pipeline import FaceTracker
 
     batches = [int(a) for a in sys.argv[1:]] or [8, 128]
-    from bench import make_1080p_frame  # reuse the realistic frame
+    from zaru_tpu.bench_programs import make_1080p_frame  # realistic frame
 
     frame = make_1080p_frame()
     print(f"device: {jax.devices()[0].device_kind}; scan={SCAN_STEPS}, "

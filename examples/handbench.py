@@ -45,7 +45,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
 
     from zaru_tpu.pipeline import MultiHandTracker
-    from bench import make_1080p_frame
+    from zaru_tpu.bench_programs import make_1080p_frame
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 4

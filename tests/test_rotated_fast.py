@@ -668,3 +668,88 @@ def test_prescale_pack_bitwise_and_fallback():
                                         0.0, 255.0, interpret=True,
                                         prescale_pack=4))
     np.testing.assert_array_equal(g3, b3)
+
+
+def test_fused_kernel_bit_identical_face_config():
+    """The fused prescale+rotate kernel (one pallas_call, intermediate
+    in VMEM scratch only) must be bit-identical to the two-kernel path
+    on the face serving config (banded resident + x-roll), across crop
+    classes: stride 1/2 upright, stride 3 tilted, and a mixed batch."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 4))
+    for rects in (
+        [[900, 500, 360, 360, 0.3]] * 4,        # stride-1 class
+        [[900, 500, 836, 836, 0.12]] * 4,       # stride-2 class
+        [[900, 500, 836, 836, 1.0]] * 4,        # stride-3 class (tilt)
+        [[900, 500, 360, 360, 0.3], [400, 300, 200, 200, -1.2],
+         [1500, 700, 500, 500, 2.0], [960, 540, 420, 420, 0.0]],
+    ):
+        rrects = jnp.asarray(np.asarray(rects, np.float32))
+        args = (imgs, rrects, 192, 192, 0.0, 1.0)
+        base = np.asarray(rotated_sample_fast(*args, interpret=True))
+        got = np.asarray(
+            rotated_sample_fast(*args, interpret=True, fused=True)
+        )
+        np.testing.assert_array_equal(got, base)
+
+
+def test_fused_kernel_bit_identical_hand_rolled():
+    """Fused kernel under the hand serving config (full-band rolled
+    M=256) with tracker slots [B, S, 5]: bit-identical to the
+    two-kernel path, any rotation."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 2))
+    rng = np.random.default_rng(7)
+    rois = np.stack([
+        np.stack([
+            rng.uniform(300, 1600, 2), rng.uniform(200, 900, 2),
+            rng.uniform(180, 320, 2), rng.uniform(180, 320, 2),
+            rng.uniform(-3.0, 3.0, 2),
+        ], axis=-1)
+        for _ in range(2)
+    ]).astype(np.float32)
+    side = np.maximum(rois[..., 2], rois[..., 3])
+    rois[..., 2] = rois[..., 3] = side
+    opts = dict(prescale_m=256, band_p=256, col_split=1,
+                square_views=True)
+    args = (imgs, jnp.asarray(rois), 224, 224, 0.0, 1.0)
+    base = np.asarray(rotated_sample_fast(*args, interpret=True, **opts))
+    got = np.asarray(
+        rotated_sample_fast(*args, interpret=True, fused=True, **opts)
+    )
+    np.testing.assert_array_equal(got, base)
+
+
+def test_fused_kernel_take_fallback():
+    """Views no crop class covers (bbox > 3*M) drop the whole batch to
+    the take-prescale + standalone-rotate fallback inside the fused
+    dispatch — still bit-identical to the unfused path."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(img[None])
+    rrects = jnp.asarray(np.asarray([[960, 540, 1700, 1700, 0.2]],
+                                    np.float32))
+    args = (imgs, rrects, 192, 192, 0.0, 1.0)
+    base = np.asarray(rotated_sample_fast(*args, interpret=True))
+    got = np.asarray(rotated_sample_fast(*args, interpret=True, fused=True))
+    np.testing.assert_array_equal(got, base)
+
+
+def test_fused_kernel_nonresident_falls_back():
+    """fused=True on a config whose rotate stage is NOT VMEM-delivered
+    (non-resident banded: M too large for the resident gate) silently
+    uses the two-kernel path — same results."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(img[None])
+    rrects = jnp.asarray(np.asarray([[900, 500, 700, 700, 0.4]],
+                                    np.float32))
+    args = (imgs, rrects, 192, 192, 0.0, 1.0)
+    kw = dict(prescale_m=1024, resident=False)
+    base = np.asarray(rotated_sample_fast(*args, interpret=True, **kw))
+    got = np.asarray(
+        rotated_sample_fast(*args, interpret=True, fused=True, **kw)
+    )
+    np.testing.assert_array_equal(got, base)

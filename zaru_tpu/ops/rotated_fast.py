@@ -201,6 +201,26 @@ def _prescale_pallas_kernel(
     step = pl.program_id(0)
     n_views = pl.num_programs(0) * pack
 
+    for pv in range(pack):
+        g = step * pack + pv  # global view index
+        cur = _crop_dma_step(
+            coef_ref, frame_ref, crop, sem, g, pv, n_views,
+            dbuf=dbuf, S=S, CH=CH, CW=CW,
+        )
+        _prescale_view_compute(
+            coef_ref, g, crop, cur, rs, out_ref, pv,
+            M=M, CH=CH, CW=CW, RW=RW, CWW=CWW, H=H, W=W, RQ=RQ, CQ=CQ,
+        )
+
+
+def _crop_dma_step(coef_ref, frame_ref, crop, sem, g, pv, n_views, *,
+                   dbuf, S, CH, CW):
+    """One view's crop-DMA sequencing (shared by the standalone prescale
+    kernel and the fused kernel): issue/wait the bbox-covering crop DMA
+    for global view ``g``, double-buffered across the GLOBAL view
+    sequence when ``dbuf`` (prefetch view g+1's crop during view g's
+    selection matmuls). Returns the buffer slot holding view g's crop."""
+
     def dma_for(view, slot):
         """Crop DMA for ``view`` into buffer ``slot``. The crop origin
         is pre-aligned by the caller (8-sublane / 128-lane grids);
@@ -216,6 +236,32 @@ def _prescale_pallas_kernel(
             sem.at[slot],
         )
 
+    if dbuf:
+        cur = lax.rem(g, 2)
+        if pv == 0:
+            @pl.when(g == 0)
+            def _():
+                dma_for(0, 0).start()
+
+        @pl.when(g + 1 < n_views)
+        def _():
+            dma_for(g + 1, lax.rem(g + 1, 2)).start()
+
+        dma_for(g, cur).wait()
+    else:
+        cur = 0
+        cp = dma_for(g, 0)
+        cp.start()
+        cp.wait()
+    return cur
+
+
+def _prescale_view_compute(coef_ref, g, crop, cur, rs, dst, dv, *,
+                           M, CH, CW, RW, CWW, H, W, RQ, CQ):
+    """One view's prescale selection matmuls, reading the crop in buffer
+    ``cur`` and writing the ``[M, M] u32`` intermediate to
+    ``dst[dv]`` — the standalone kernel's HBM-backed out block, or the
+    fused kernel's VMEM-resident scratch."""
     n_rc = M // RQ
     n_cc = M // CQ
 
@@ -224,132 +270,90 @@ def _prescale_pallas_kernel(
     iota_cw = lax.broadcasted_iota(jnp.int32, (CWW, CQ), 0)
     iota_j = lax.broadcasted_iota(jnp.int32, (CWW, CQ), 1)
 
-    for pv in range(pack):
-        g = step * pack + pv  # global view index
+    ly = coef_ref[g, 2]
+    lx = coef_ref[g, 3]
+    sy = coef_ref[g, 4]
+    sx = coef_ref[g, 5]
+    ystart = pl.multiple_of(coef_ref[g, 0], 8)
+    xstart = pl.multiple_of(coef_ref[g, 1], 128)
 
-        if dbuf:
-            cur = lax.rem(g, 2)
-            if pv == 0:
-                @pl.when(g == 0)
-                def _():
-                    dma_for(0, 0).start()
+    for rc in range(n_rc):
+        # Source rows for output rows [rc*RQ, rc*RQ+RQ): yi = ly +
+        # sy*q, exact integers — no rounding wiggle. Window start
+        # aligns DOWN to the 8-sublane grid and clamps inside the
+        # crop.
+        y_first = ly + sy * (rc * RQ)
+        rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
+        rw0 = pl.multiple_of(rw0, 8)
+        win = crop[cur, pl.ds(rw0, RW), :]  # [RW, CW] u32
 
-            @pl.when(g + 1 < n_views)
-            def _():
-                dma_for(g + 1, lax.rem(g + 1, 2)).start()
+        # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
+        # sources (OOB rows contribute 0 — the take path's fill).
+        yi = ly + sy * (iota_q + rc * RQ)
+        yrel = yi - ystart - rw0
+        oky = (yi >= 0) & (yi < H)
+        ohy = ((iota_rw == yrel) & oky).astype(jnp.int8)  # [RQ, RW]
+        # [RQ, 1] in-frame row mask for the final re-bias.
+        oky1 = oky[:, :1].astype(jnp.int32)
 
-            dma_for(g, cur).wait()
-        else:
-            cur = 0
-            cp = dma_for(g, 0)
-            cp.start()
-            cp.wait()
+        # Row-select each channel: values re-biased to [-128, 127]
+        # so the products stay exact in int8 x int8 -> int32 MXU
+        # math; the results ((px-128) or 0) fit int8 exactly and
+        # land in the rs scratch so column chunks can window them
+        # with pl.ds. (An rc%2-alternating rs double buffer —
+        # removing the WAR hazard between chunk rc's column matmuls
+        # and chunk rc+1's unpack/row matmuls — was tried in round 4
+        # and measured flat-to-worse on device: Mosaic's scheduler
+        # does not exploit the extra ILP here. Reverted; single
+        # buffer stands.)
+        w32 = win.astype(jnp.int32)
+        for ch in range(3):
+            ch_i8 = (
+                ((w32 >> (8 * ch)) & 0xFF) - 128
+            ).astype(jnp.int8)  # [RW, CW]
+            rs[ch * RQ:(ch + 1) * RQ, :] = jnp.dot(
+                ohy, ch_i8, preferred_element_type=jnp.int32
+            ).astype(jnp.int8)
 
-        ly = coef_ref[g, 2]
-        lx = coef_ref[g, 3]
-        sy = coef_ref[g, 4]
-        sx = coef_ref[g, 5]
-        ystart = pl.multiple_of(coef_ref[g, 0], 8)
-        xstart = pl.multiple_of(coef_ref[g, 1], 128)
+        for cc in range(n_cc):
+            x_first = lx + sx * (cc * CQ)
+            cw0 = jnp.clip(
+                ((x_first - xstart) // 128) * 128, 0, CW - CWW
+            )
+            cw0 = pl.multiple_of(cw0, 128)
+            xj = lx + sx * (iota_j + cc * CQ)
+            xrel = xj - xstart - cw0
+            okx = (xj >= 0) & (xj < W)
+            ohx = ((iota_cw == xrel) & okx).astype(jnp.int8)
 
-        for rc in range(n_rc):
-            # Source rows for output rows [rc*RQ, rc*RQ+RQ): yi = ly +
-            # sy*q, exact integers — no rounding wiggle. Window start
-            # aligns DOWN to the 8-sublane grid and clamps inside the
-            # crop.
-            y_first = ly + sy * (rc * RQ)
-            rw0 = jnp.clip(((y_first - ystart) // 8) * 8, 0, CH - RW)
-            rw0 = pl.multiple_of(rw0, 8)
-            win = crop[cur, pl.ds(rw0, RW), :]  # [RW, CW] u32
+            sel = jnp.dot(
+                rs[:, pl.ds(cw0, CWW)], ohx,
+                preferred_element_type=jnp.int32,
+            ).reshape(3, RQ, CQ)
 
-            # ohy[q, r]: r == (yi(q) - ystart - rw0), masked to in-frame
-            # sources (OOB rows contribute 0 — the take path's fill).
-            yi = ly + sy * (iota_q + rc * RQ)
-            yrel = yi - ystart - rw0
-            oky = (yi >= 0) & (yi < H)
-            ohy = ((iota_rw == yrel) & oky).astype(jnp.int8)  # [RQ, RW]
-            # [RQ, 1] in-frame row mask for the final re-bias.
-            oky1 = oky[:, :1].astype(jnp.int32)
-
-            # Row-select each channel: values re-biased to [-128, 127]
-            # so the products stay exact in int8 x int8 -> int32 MXU
-            # math; the results ((px-128) or 0) fit int8 exactly and
-            # land in the rs scratch so column chunks can window them
-            # with pl.ds. (An rc%2-alternating rs double buffer —
-            # removing the WAR hazard between chunk rc's column matmuls
-            # and chunk rc+1's unpack/row matmuls — was tried in round 4
-            # and measured flat-to-worse on device: Mosaic's scheduler
-            # does not exploit the extra ILP here. Reverted; single
-            # buffer stands.)
-            w32 = win.astype(jnp.int32)
-            for ch in range(3):
-                ch_i8 = (
-                    ((w32 >> (8 * ch)) & 0xFF) - 128
-                ).astype(jnp.int8)  # [RW, CW]
-                rs[ch * RQ:(ch + 1) * RQ, :] = jnp.dot(
-                    ohy, ch_i8, preferred_element_type=jnp.int32
-                ).astype(jnp.int8)
-
-            for cc in range(n_cc):
-                x_first = lx + sx * (cc * CQ)
-                cw0 = jnp.clip(
-                    ((x_first - xstart) // 128) * 128, 0, CW - CWW
-                )
-                cw0 = pl.multiple_of(cw0, 128)
-                xj = lx + sx * (iota_j + cc * CQ)
-                xrel = xj - xstart - cw0
-                okx = (xj >= 0) & (xj < W)
-                ohx = ((iota_cw == xrel) & okx).astype(jnp.int8)
-
-                sel = jnp.dot(
-                    rs[:, pl.ds(cw0, CWW)], ohx,
-                    preferred_element_type=jnp.int32,
-                ).reshape(3, RQ, CQ)
-
-                # Re-bias: +128 where the source index is in-frame. The
-                # coverage predicate guarantees every in-frame source
-                # within the view bbox (+ the rotate kernel's rounding
-                # wiggle) is in the crop window, so cells the rotate
-                # kernel can read are exact; in-frame cells of the
-                # M-grid far outside the bbox may miss the window (empty
-                # one-hot -> 128 here vs a real pixel on the take path)
-                # but are never selected downstream.
-                ind = oky1 * okx[:1, :].astype(jnp.int32)  # [RQ, CQ]
-                px = sel + 128 * ind[None]
-                out32 = px[0] | (px[1] << 8) | (px[2] << 16)
-                out_ref[
-                    pv,
-                    rc * RQ:(rc + 1) * RQ,
-                    cc * CQ:(cc + 1) * CQ,
-                ] = out32.astype(jnp.uint32)
+            # Re-bias: +128 where the source index is in-frame. The
+            # coverage predicate guarantees every in-frame source
+            # within the view bbox (+ the rotate kernel's rounding
+            # wiggle) is in the crop window, so cells the rotate
+            # kernel can read are exact; in-frame cells of the
+            # M-grid far outside the bbox may miss the window (empty
+            # one-hot -> 128 here vs a real pixel on the take path)
+            # but are never selected downstream.
+            ind = oky1 * okx[:1, :].astype(jnp.int32)  # [RQ, CQ]
+            px = sel + 128 * ind[None]
+            out32 = px[0] | (px[1] << 8) | (px[2] << 16)
+            dst[
+                dv,
+                rc * RQ:(rc + 1) * RQ,
+                cc * CQ:(cc + 1) * CQ,
+            ] = out32.astype(jnp.uint32)
 
 
-def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
-                     dbuf=None, rq=None, cq=None, pack=None):
-    """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
-    -> ``[N, M, M] u32`` intermediates. Only called on batches whose
-    every view passes `_prescale_coverage_ok` for this crop class.
-
-    ``rq``/``cq``: selection chunk blocking (default PRESCALE_RQ/CQ).
-    Swept on device and measured a NO-OP for the full sampler
-    (benchsuite prescale-sweep) — kept as A/B knobs.
-
-    ``pack``: views per grid step (the rotate kernel's view_pack cure
-    tried on the prescale's ~18 us/view stride-independent cost).
-    Measured a NO-OP on device — unlike the rotate kernel, a prescale
-    view's work is one serial dependency chain (crop DMA wait -> row
-    selects -> col selects through the rs scratch), so packing
-    amortizes nothing and slightly hurts tilted shapes (5.89 -> 5.97
-    ms/step at theta=1.0; benchsuite prescale-sweep pack arms).
-    Default (None): 1; the knob + device parity remain as the record.
-    Bit-identical results at any pack."""
-    B, H, W = image_u32.shape
-    N = rrect_flat.shape[0]
-    rq = rq or PRESCALE_RQ
-    cq = cq or PRESCALE_CQ
-    assert M % rq == 0 and M % cq == 0, (M, rq, cq)
-    if pack is None or pack < 1 or N % pack:
-        pack = 1
+def _prescale_coefs(rrect_flat, M, H, W, smax):
+    """Per-view prescale kernel coefs (SMEM i32 ``[N, 6]``): crop-window
+    origin (8/128-aligned), first sample index ``L + (s-1)//2`` and the
+    integer strides — shared by the standalone prescale kernel and the
+    fused kernel."""
     CH, CW = _crop_shape(H, W, M, smax)
 
     def coefs_one(rr):
@@ -380,7 +384,38 @@ def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
         )
         return jnp.stack([ystart, xstart, ly, lx, syi, sxi])
 
-    coefs = jax.vmap(coefs_one)(rrect_flat)  # [N, 6] i32
+    return jax.vmap(coefs_one)(rrect_flat)
+
+
+def _prescale_pallas(image_u32, rrect_flat, M, S, interpret, smax,
+                     dbuf=None, rq=None, cq=None, pack=None):
+    """Batched Pallas prescale: ``[B,H,W] u32`` frames + ``[N,5]`` rects
+    -> ``[N, M, M] u32`` intermediates. Only called on batches whose
+    every view passes `_prescale_coverage_ok` for this crop class.
+
+    ``rq``/``cq``: selection chunk blocking (default PRESCALE_RQ/CQ).
+    Swept on device and measured a NO-OP for the full sampler
+    (benchsuite prescale-sweep) — kept as A/B knobs.
+
+    ``pack``: views per grid step (the rotate kernel's view_pack cure
+    tried on the prescale's ~18 us/view stride-independent cost).
+    Measured a NO-OP on device — unlike the rotate kernel, a prescale
+    view's work is one serial dependency chain (crop DMA wait -> row
+    selects -> col selects through the rs scratch), so packing
+    amortizes nothing and slightly hurts tilted shapes (5.89 -> 5.97
+    ms/step at theta=1.0; benchsuite prescale-sweep pack arms).
+    Default (None): 1; the knob + device parity remain as the record.
+    Bit-identical results at any pack."""
+    B, H, W = image_u32.shape
+    N = rrect_flat.shape[0]
+    rq = rq or PRESCALE_RQ
+    cq = cq or PRESCALE_CQ
+    assert M % rq == 0 and M % cq == 0, (M, rq, cq)
+    if pack is None or pack < 1 or N % pack:
+        pack = 1
+    CH, CW = _crop_shape(H, W, M, smax)
+
+    coefs = _prescale_coefs(rrect_flat, M, H, W, smax)  # [N, 6] i32
 
     # Double-buffer the crop DMA (prefetch view v+1 during view v's
     # selection matmuls). Measured on device (examples/r3bench6.py):
@@ -555,8 +590,8 @@ def _rotate_kernel(
     # (SMEM coefs, ANY-space planar in the non-resident mode, which
     # requires view_pack == 1 — it shares one band/sem scratch).
     for pv in range(view_pack):
-        _rotate_one_view(
-            coef_ref, planar_ref, out_ref, band, sem,
+        out_ref[pv, 0, 0] = _rotate_one_view(
+            coef_ref, planar_ref, band, sem,
             pl.program_id(0) * view_pack + pv, pv, blk, cb, lanes,
             M=M, P=P, XW=XW, out_w=out_w, out_h=out_h, cols=cols,
             rows_pb=rows_pb, int8_mxu=int8_mxu, hoist_band=hoist_band,
@@ -565,7 +600,7 @@ def _rotate_kernel(
 
 
 def _rotate_one_view(
-    coef_ref, planar_ref, out_ref, band, sem, b, pv, blk, cb, lanes, *,
+    coef_ref, planar_ref, band, sem, b, pv, blk, cb, lanes, *,
     M, P, XW, out_w, out_h, cols, rows_pb, int8_mxu, hoist_band,
     rolled, fuse3, resident, xroll,
 ):
@@ -741,7 +776,7 @@ def _rotate_one_view(
                 )
                 for ch in range(3)
             ])
-        out = (v + 128 * ind.astype(jnp.int32)).astype(jnp.float32)
+        return (v + 128 * ind.astype(jnp.int32)).astype(jnp.float32)
     else:
         # bf16 MXU path: u8 values <= 255 < 2^8 are exact in bf16, and
         # one-hot selection is exact — same results as int8.
@@ -757,17 +792,72 @@ def _rotate_one_view(
             sel = jnp.dot(
                 band_bf, ohx, preferred_element_type=jnp.float32
             ).reshape(3, P, lanes)
-            out = jnp.sum(sel * my_f[None], axis=1)
-        else:
-            out = jnp.concatenate([
-                jnp.sum(
-                    jnp.dot(ch_bf, ohx, preferred_element_type=jnp.float32)
-                    * my_f,
-                    axis=0, keepdims=True,
-                )
-                for ch_bf in chans_bf
-            ])
-    out_ref[pv, 0, 0, :, :] = out
+            return jnp.sum(sel * my_f[None], axis=1)
+        return jnp.concatenate([
+            jnp.sum(
+                jnp.dot(ch_bf, ohx, preferred_element_type=jnp.float32)
+                * my_f,
+                axis=0, keepdims=True,
+            )
+            for ch_bf in chans_bf
+        ])
+
+
+def _fused_kernel(
+    pcoef_ref, rcoef_ref, frame_ref, out_ref, crop, rs, inter, sem, *,
+    M, CH, CW, RW, CWW, H, W, S, dbuf, RQ, CQ, pack,
+    P, XW, out_w, out_h, cols, rows_pb, int8_mxu, hoist_band, rolled,
+    fuse3, resident, xroll,
+):
+    """Fused prescale+rotate (TODO_NEXT r4 #1a): one kernel runs both
+    sampler stages, so the ``[N, M, M] u32`` intermediate lives ONLY in
+    the ``inter`` VMEM scratch — it never round-trips HBM (≈2 MB/view of
+    write+read traffic at M=512), and the two kernels' per-view pipeline
+    fixed costs collapse into one.
+
+    Grid: ``(N // pack, n_blocks, col_split)`` — identical blocking to
+    the standalone rotate kernel. The prescale stage for a view block's
+    ``pack`` views runs under ``pl.when`` at the block's FIRST grid step
+    (blk == 0, cb == 0), writing ``inter[pv]``; the remaining steps are
+    pure rotate blocks reading ``inter`` exactly like the resident /
+    hoisted modes read their delivered planar block. The crop DMA
+    double-buffering carries across grid steps unchanged (the prefetch
+    for the NEXT view block is issued at the current block's first step
+    and hides under its rotate blocks). Sequential grid required
+    (dimension_semantics all "arbitrary") — DMA state and ``inter``
+    carry across steps.
+
+    Bit-identical to the two-kernel path by construction: both stages
+    are the same `_prescale_view_compute` / `_rotate_one_view` bodies on
+    the same coefs."""
+    b0 = pl.program_id(0)
+    blk = pl.program_id(1)
+    cb = pl.program_id(2)
+    lanes = rows_pb * cols
+    n_views = pl.num_programs(0) * pack
+
+    @pl.when((blk == 0) & (cb == 0))
+    def _():
+        for pv in range(pack):
+            g = b0 * pack + pv
+            cur = _crop_dma_step(
+                pcoef_ref, frame_ref, crop, sem, g, pv, n_views,
+                dbuf=dbuf, S=S, CH=CH, CW=CW,
+            )
+            _prescale_view_compute(
+                pcoef_ref, g, crop, cur, rs, inter, pv,
+                M=M, CH=CH, CW=CW, RW=RW, CWW=CWW, H=H, W=W, RQ=RQ,
+                CQ=CQ,
+            )
+
+    for pv in range(pack):
+        out_ref[pv, 0, 0] = _rotate_one_view(
+            rcoef_ref, inter, None, None, b0 * pack + pv, pv, blk, cb,
+            lanes,
+            M=M, P=P, XW=XW, out_w=out_w, out_h=out_h, cols=cols,
+            rows_pb=rows_pb, int8_mxu=int8_mxu, hoist_band=hoist_band,
+            rolled=rolled, fuse3=fuse3, resident=resident, xroll=xroll,
+        )
 
 
 @functools.partial(
@@ -777,6 +867,7 @@ def _rotate_one_view(
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
         "pallas_prescale", "fuse3", "resident", "xroll", "prescale_dbuf",
         "view_pack", "prescale_rq", "prescale_cq", "prescale_pack",
+        "fused",
     ),
 )
 def rotated_sample_fast(
@@ -804,6 +895,7 @@ def rotated_sample_fast(
     prescale_rq: int | None = None,
     prescale_cq: int | None = None,
     prescale_pack: int | None = None,
+    fused: bool | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -891,6 +983,15 @@ def rotated_sample_fast(
       NO-OP on device (a prescale view is one serial dependency chain;
       benchsuite prescale-sweep pack arms) — default 1, knob kept as
       the A/B record. Bit-identical results at any pack.
+    - ``fused``: run prescale + rotate as ONE Pallas kernel — the
+      ``[N, M, M] u32`` intermediate lives only in VMEM scratch (no HBM
+      round trip; the two kernels' per-view pipeline fixed costs
+      collapse). Admissible when ``pallas_prescale`` is on and the
+      rotate stage reads its intermediate as a VMEM block (resident /
+      full-band/rolled modes — every shipped serving config); falls
+      back to the two-kernel path otherwise. Bit-identical by
+      construction (same compute bodies, same coefs). Default (None):
+      OFF pending device measurement; pass True to A/B.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -1098,20 +1199,25 @@ def rotated_sample_fast(
 
         return path
 
-    # Nested batch-scalar conds over the crop classes, tightest
-    # (stride-1) first: the first class whose predicate admits the whole
-    # batch runs its Pallas kernel; the exact XLA take path remains the
-    # final fallback. A class is only *traceable* when the frame can supply
-    # its static chunk windows — smaller frames (tiny test images) fall
-    # through (lax.cond traces every branch of the chain).
-    if pallas_prescale:
-        chain = take_path
+    def class_admissible(smax_c):
+        """Static admissibility of a crop class: the frame must supply
+        its chunk windows (smaller frames — tiny test images — fall
+        through to the take path)."""
+        _ch, _cw = _crop_shape(H, W, M, smax_c)
+        return (
+            _ch >= _prescale_rw(smax_c, prescale_rq or PRESCALE_RQ)
+            and _cw >= _prescale_cww(smax_c, prescale_cq or PRESCALE_CQ)
+        )
+
+    def class_chain(fallback, path_for):
+        """Nested batch-scalar conds over the crop classes, tightest
+        (stride-1) first: the first class whose predicate admits the
+        whole batch runs its Pallas path; ``fallback`` (built on the
+        exact XLA take prescale) runs otherwise. lax.cond traces every
+        branch of the chain."""
+        chain = fallback
         for smax_c in reversed(PRESCALE_SMAXES):
-            _ch, _cw = _crop_shape(H, W, M, smax_c)
-            if (
-                _ch < _prescale_rw(smax_c, prescale_rq or PRESCALE_RQ)
-                or _cw < _prescale_cww(smax_c, prescale_cq or PRESCALE_CQ)
-            ):
+            if not class_admissible(smax_c):
                 continue
             ok = _prescale_coverage_ok(
                 rrect_flat.reshape(N, 5), M, H, W, smax_c,
@@ -1121,10 +1227,8 @@ def rotated_sample_fast(
                 lambda ok, path, prev: (
                     lambda ops: lax.cond(ok, path, prev, ops)
                 )
-            )(ok, pallas_path_for(smax_c), chain)
-        planar = chain((image_u32, rrect_flat))
-    else:
-        planar = take_path((image_u32, rrect_flat))
+            )(ok, path_for(smax_c), chain)
+        return chain
 
     # Full-band configs (P == M and XW == M) read the ENTIRE per-view
     # intermediate with static offsets, so the window can be a regular
@@ -1179,39 +1283,120 @@ def rotated_sample_fast(
         hoist_band=hoist_band, rolled=rolled, fuse3=fuse3,
         resident=resident, xroll=xroll, view_pack=pack,
     )
-    if hoist_band or resident:
-        kern = lambda coef_ref, planar_ref, out_ref: kernel(
-            coef_ref, planar_ref, out_ref, None, None
+    out_spec = pl.BlockSpec(
+        (pack, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_struct = jax.ShapeDtypeStruct(
+        (N, n_blocks, col_split, 3, lanes), jnp.float32
+    )
+
+    def rotate_call(planar):
+        if hoist_band or resident:
+            kern = lambda coef_ref, planar_ref, out_ref: kernel(
+                coef_ref, planar_ref, out_ref, None, None
+            )
+            planar_spec = pl.BlockSpec(
+                (pack, M, M), lambda b, blk, cb: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            scratch = []
+        else:
+            kern = kernel
+            planar_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch = [
+                pltpu.VMEM((P, XW), jnp.uint32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        return pl.pallas_call(
+            kern,
+            grid=(N // pack, n_blocks, col_split),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
+                planar_spec,  # planar [N, M, M] u32
+            ],
+            out_specs=out_spec,
+            out_shape=out_struct,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(coefs, planar)
+
+    def fused_call_for(smax):
+        """Fused prescale+rotate pallas_call for one crop class — same
+        blocking and coefs as the two-kernel path, intermediate in VMEM
+        scratch only (see `_fused_kernel`)."""
+        CHc, CWc = _crop_shape(H, W, M, smax)
+        rq_ = prescale_rq or PRESCALE_RQ
+        cq_ = prescale_cq or PRESCALE_CQ
+        dbuf_ = True if prescale_dbuf is None else prescale_dbuf
+        nbuf = 2 if dbuf_ else 1
+        # Crops + inter scratch + rs scratch + pipelined out blocks,
+        # plus ~8 MB for Mosaic temporaries and headroom (same sizing
+        # rationale as `_prescale_pallas`).
+        vmem_demand = (
+            nbuf * CHc * CWc * 4 + pack * M * M * 4 + 3 * rq_ * CWc
+            + 2 * pack * 3 * lanes * 4
         )
-        planar_spec = pl.BlockSpec(
-            (pack, M, M), lambda b, blk, cb: (b, 0, 0),
-            memory_space=pltpu.VMEM,
+        vmem_limit = min(vmem_demand + 8 * 2**20, 100 * 2**20)
+        kern = functools.partial(
+            _fused_kernel, M=M, CH=CHc, CW=CWc,
+            RW=_prescale_rw(smax, rq_), CWW=_prescale_cww(smax, cq_),
+            H=H, W=W, S=S, dbuf=dbuf_, RQ=rq_, CQ=cq_, pack=pack,
+            P=P, XW=XW, out_w=out_w, out_h=out_h, cols=cols,
+            rows_pb=rows_pb, int8_mxu=int8_mxu, hoist_band=hoist_band,
+            rolled=rolled, fuse3=fuse3, resident=resident, xroll=xroll,
         )
-        scratch = []
+
+        def call(ops):
+            img32, rrf = ops
+            pcoefs = _prescale_coefs(rrf.reshape(N, 5), M, H, W, smax)
+            return pl.pallas_call(
+                kern,
+                grid=(N // pack, n_blocks, col_split),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # pcoefs [N, 6]
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # rcoefs [N, 12]
+                    pl.BlockSpec(memory_space=pl.ANY),  # frames [B, H, W]
+                ],
+                out_specs=out_spec,
+                out_shape=out_struct,
+                scratch_shapes=[
+                    pltpu.VMEM((nbuf, CHc, CWc), jnp.uint32),
+                    pltpu.VMEM((3 * rq_, CWc), jnp.int8),
+                    pltpu.VMEM((pack, M, M), jnp.uint32),
+                    pltpu.SemaphoreType.DMA((nbuf,)),
+                ],
+                # DMA double-buffering and the inter scratch carry state
+                # across grid steps: strictly sequential grid.
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "arbitrary", "arbitrary", "arbitrary"
+                    ),
+                    vmem_limit_bytes=vmem_limit,
+                ),
+                interpret=interpret,
+            )(pcoefs, coefs, img32)
+
+        return call
+
+    # Fused dispatch: admissible whenever the rotate stage reads its
+    # intermediate as a VMEM block (resident / hoisted full-band) and
+    # the Pallas prescale is on. The class chain then selects a FUSED
+    # kernel per crop class, with take-prescale + standalone rotate as
+    # the exact fallback.
+    fused_ok = bool(pallas_prescale) and (hoist_band or resident)
+    use_fused = bool(fused) and fused_ok if fused is not None else False
+    if use_fused:
+        out = class_chain(
+            lambda ops: rotate_call(take_path(ops)), fused_call_for
+        )((image_u32, rrect_flat))
+    elif pallas_prescale:
+        planar = class_chain(take_path, pallas_path_for)(
+            (image_u32, rrect_flat)
+        )
+        out = rotate_call(planar)
     else:
-        kern = kernel
-        planar_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch = [
-            pltpu.VMEM((P, XW), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
-        ]
-    out = pl.pallas_call(
-        kern,
-        grid=(N // pack, n_blocks, col_split),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 12]
-            planar_spec,  # planar [N, M, M] u32
-        ],
-        out_specs=pl.BlockSpec(
-            (pack, 1, 1, 3, lanes), lambda b, blk, cb: (b, blk, cb, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (N, n_blocks, col_split, 3, lanes), jnp.float32
-        ),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(coefs, planar)
+        out = rotate_call(take_path((image_u32, rrect_flat)))
 
     adjust = np.float32((hi - lo) / 255.0)
     out = out * adjust + np.float32(lo)
