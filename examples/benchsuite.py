@@ -270,7 +270,7 @@ def cmd_parity(ctx):
     ):
         rr = ctx.rects(B, theta, size=size)
         base = np.asarray(jax.jit(
-            lambda f, r: rotated_sample_fast(f, r, 192, 192)
+            lambda f, r: rotated_sample_fast(f, r, 192, 192, fused=False)
         )(frames, rr))
         got = np.asarray(jax.jit(
             lambda f, r: rotated_sample_fast(f, r, 192, 192, fused=True)
@@ -280,7 +280,7 @@ def cmd_parity(ctx):
                   "bitwise_equal": eq})
         assert eq, f"fused parity FAILED at {label}"
     base = np.asarray(jax.jit(
-        lambda f, r: rotated_sample_fast(f, r, 224, 224, **kw)
+        lambda f, r: rotated_sample_fast(f, r, 224, 224, fused=False, **kw)
     )(frames, rrh))
     got = np.asarray(jax.jit(
         lambda f, r: rotated_sample_fast(f, r, 224, 224, fused=True, **kw)
@@ -312,16 +312,19 @@ def cmd_sampler(ctx):
         ("fused", 0.12, 836.0, {"fused": True}),
         ("fused-th1.0", 1.0, 836.0, {"fused": True}),
         ("fused-360px", 0.12, 360.0, {"fused": True}),
-        ("pack1 (r3 baseline)", 0.12, 836.0, {"view_pack": 1}),
-        ("pack1-th1.0 (r3 baseline)", 1.0, 836.0, {"view_pack": 1}),
-        ("pack2", 0.12, 836.0, {"view_pack": 2}),
-        ("pack4", 0.12, 836.0, {"view_pack": 4}),
+        ("pack1 (r3 baseline)", 0.12, 836.0,
+         {"view_pack": 1, "fused": False}),
+        ("pack1-th1.0 (r3 baseline)", 1.0, 836.0,
+         {"view_pack": 1, "fused": False}),
+        ("pack2", 0.12, 836.0, {"view_pack": 2, "fused": False}),
+        ("pack4 (two-kernel)", 0.12, 836.0,
+         {"view_pack": 4, "fused": False}),
         ("xroll-xw128-pack1 (r3bench5 row)", 0.12, 836.0,
-         {"win_x": 128, "xroll": True, "view_pack": 1}),
+         {"win_x": 128, "xroll": True, "view_pack": 1, "fused": False}),
         ("nodbuf-pack1 (r3bench6 row)", 0.12, 836.0,
-         {"prescale_dbuf": False, "view_pack": 1}),
+         {"prescale_dbuf": False, "view_pack": 1, "fused": False}),
         ("take-prescale-pack1 (r2 lane)", 0.12, 836.0,
-         {"pallas_prescale": False, "view_pack": 1}),
+         {"pallas_prescale": False, "view_pack": 1, "fused": False}),
     ]
     only = ctx.args.only
     for label, theta, size, opts in variants:
@@ -393,10 +396,13 @@ def cmd_phases(ctx):
                       "ms_per_step_median": round(stats["median"] / steps * 1e3, 2)})
 
         # Phase 2: full sampler at the default and the A/B knobs.
+        # fused=False: the phase ledger decomposes the TWO-KERNEL path
+        # (full - prescale = rotate); the fused default would fold the
+        # stages together (its A/B lives in the sampler/hand fused arms).
         arms = {
-            "full-auto": {},
-            "full-pack1": {"view_pack": 1},
-            "full-bf16sel": {"int8_mxu": False},
+            "full-auto": {"fused": False},
+            "full-pack1": {"view_pack": 1, "fused": False},
+            "full-bf16sel": {"int8_mxu": False, "fused": False},
         }
         full = {}
         for arm, opts in arms.items():
@@ -774,7 +780,9 @@ def cmd_hand(ctx):
         ("rolled-auto (hand default)", dict(square_views=True, **M256)),
         ("rolled-fused", dict(square_views=True, fused=True, **M256)),
         ("rolled-pack1 (r3 baseline)",
-         dict(square_views=True, view_pack=1, **M256)),
+         dict(square_views=True, view_pack=1, fused=False, **M256)),
+        ("rolled-two-kernel (r4 pre-fuse)",
+         dict(square_views=True, fused=False, **M256)),
         ("banded-auto-M256", dict(prescale_m=256)),
     ):
         if ctx.args.only and ctx.args.only not in label:

@@ -628,7 +628,9 @@ def test_prescale_pack_bitwise_and_fallback():
     """prescale_pack runs N/pack prescale grid steps with identical
     per-view math (crop dbuf alternates over the GLOBAL view sequence) —
     packed results must be bitwise-equal, and odd view counts must
-    silently fall back to pack=1."""
+    silently fall back to pack=1. fused=False throughout: the knob
+    applies only to the standalone prescale kernel (the fused-default
+    path has no separate prescale grid)."""
     H, W = 720, 1280
     img = coord_image(H, W)
     imgs = jnp.asarray(np.stack([img] * 4))
@@ -641,22 +643,22 @@ def test_prescale_pack_bitwise_and_fallback():
     )
     args = (imgs, rrects, 192, 192, 0.0, 255.0)
     base = np.asarray(
-        rotated_sample_fast(*args, interpret=True, prescale_pack=1)
+        rotated_sample_fast(*args, interpret=True, fused=False, prescale_pack=1)
     )
     for pack in (2, 4, None):
         got = np.asarray(
-            rotated_sample_fast(*args, interpret=True, prescale_pack=pack)
+            rotated_sample_fast(*args, interpret=True, fused=False, prescale_pack=pack)
         )
         np.testing.assert_array_equal(got, base)
     # dbuf OFF packs too (single crop buffer, serial DMA per view).
     got_nodbuf = np.asarray(
         rotated_sample_fast(
-            *args, interpret=True, prescale_pack=4, prescale_dbuf=False
+            *args, interpret=True, fused=False, prescale_pack=4, prescale_dbuf=False
         )
     )
     base_nodbuf = np.asarray(
         rotated_sample_fast(
-            *args, interpret=True, prescale_pack=1, prescale_dbuf=False
+            *args, interpret=True, fused=False, prescale_pack=1, prescale_dbuf=False
         )
     )
     np.testing.assert_array_equal(got_nodbuf, base_nodbuf)
@@ -687,7 +689,9 @@ def test_fused_kernel_bit_identical_face_config():
     ):
         rrects = jnp.asarray(np.asarray(rects, np.float32))
         args = (imgs, rrects, 192, 192, 0.0, 1.0)
-        base = np.asarray(rotated_sample_fast(*args, interpret=True))
+        base = np.asarray(
+            rotated_sample_fast(*args, interpret=True, fused=False)
+        )
         got = np.asarray(
             rotated_sample_fast(*args, interpret=True, fused=True)
         )
@@ -715,7 +719,9 @@ def test_fused_kernel_bit_identical_hand_rolled():
     opts = dict(prescale_m=256, band_p=256, col_split=1,
                 square_views=True)
     args = (imgs, jnp.asarray(rois), 224, 224, 0.0, 1.0)
-    base = np.asarray(rotated_sample_fast(*args, interpret=True, **opts))
+    base = np.asarray(
+        rotated_sample_fast(*args, interpret=True, fused=False, **opts)
+    )
     got = np.asarray(
         rotated_sample_fast(*args, interpret=True, fused=True, **opts)
     )
@@ -732,7 +738,9 @@ def test_fused_kernel_take_fallback():
     rrects = jnp.asarray(np.asarray([[960, 540, 1700, 1700, 0.2]],
                                     np.float32))
     args = (imgs, rrects, 192, 192, 0.0, 1.0)
-    base = np.asarray(rotated_sample_fast(*args, interpret=True))
+    base = np.asarray(
+        rotated_sample_fast(*args, interpret=True, fused=False)
+    )
     got = np.asarray(rotated_sample_fast(*args, interpret=True, fused=True))
     np.testing.assert_array_equal(got, base)
 
@@ -748,7 +756,9 @@ def test_fused_kernel_nonresident_falls_back():
                                     np.float32))
     args = (imgs, rrects, 192, 192, 0.0, 1.0)
     kw = dict(prescale_m=1024, resident=False)
-    base = np.asarray(rotated_sample_fast(*args, interpret=True, **kw))
+    base = np.asarray(
+        rotated_sample_fast(*args, interpret=True, fused=False, **kw)
+    )
     got = np.asarray(
         rotated_sample_fast(*args, interpret=True, fused=True, **kw)
     )

@@ -990,8 +990,15 @@ def rotated_sample_fast(
       rotate stage reads its intermediate as a VMEM block (resident /
       full-band/rolled modes — every shipped serving config); falls
       back to the two-kernel path otherwise. Bit-identical by
-      construction (same compute bodies, same coefs). Default (None):
-      OFF pending device measurement; pass True to A/B.
+      construction (same compute bodies, same coefs) — device-verified
+      per crop class and at the rolled hand shape (benchsuite parity).
+      Default (None): auto-ON when admissible — same-session device
+      A/B at batch 128 (best/median ms/step): face 836 px s2
+      5.91/6.14 -> 5.41/5.59, s3 tilt 6.12/6.28 -> 5.80/5.87, 360 px
+      s1 5.24/5.33 -> 4.69/4.80, hand rolled-224 12.46/12.49 ->
+      11.48/11.76 (benchsuite sampler/hand fused arms, 2026-08-19).
+      Pass False to A/B the two-kernel path (``prescale_pack`` applies
+      only there).
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -1385,7 +1392,7 @@ def rotated_sample_fast(
     # kernel per crop class, with take-prescale + standalone rotate as
     # the exact fallback.
     fused_ok = bool(pallas_prescale) and (hoist_band or resident)
-    use_fused = bool(fused) and fused_ok if fused is not None else False
+    use_fused = fused_ok if fused is None else (bool(fused) and fused_ok)
     if use_fused:
         out = class_chain(
             lambda ops: rotate_call(take_path(ops)), fused_call_for
