@@ -289,6 +289,32 @@ def cmd_parity(ctx):
     ctx.emit({"check": "fused_parity", "config": "hand-rolled224",
               "bitwise_equal": eq})
     assert eq, "fused parity FAILED at hand-rolled224"
+
+    # s1-direct parity (round 4 final): the fused kernel's stride-1
+    # class reading the RAW crop (prescale compute skipped) must be
+    # bitwise-equal to the selection prescale — class-1 batches only
+    # (the knob is invisible elsewhere), banded face + rolled hand
+    # shapes, including a frame-corner view whose OOB sources must
+    # stay black.
+    for label, rr_d, okw in (
+        ("face-360-banded", ctx.rects(B, 0.3, size=360.0), {}),
+        ("hand-rolled-170", ctx.rects(B, 0.7, size=170.0), kw),
+        ("corner-oob", jnp.asarray(np.asarray(
+            [[30, 25, 150, 150, 0.6]] * B, np.float32)), kw),
+    ):
+        wh = 224 if okw else 192
+        base = np.asarray(jax.jit(
+            lambda f, r, o=okw, s=wh: rotated_sample_fast(
+                f, r, s, s, fused=True, s1_direct=False, **o)
+        )(frames, rr_d))
+        got = np.asarray(jax.jit(
+            lambda f, r, o=okw, s=wh: rotated_sample_fast(
+                f, r, s, s, fused=True, s1_direct=True, **o)
+        )(frames, rr_d))
+        eq = bool((got == base).all())
+        ctx.emit({"check": "s1direct_parity", "config": label,
+                  "bitwise_equal": eq})
+        assert eq, f"s1-direct parity FAILED at {label}"
     log("device parity OK")
 
 
@@ -312,6 +338,14 @@ def cmd_sampler(ctx):
         ("fused", 0.12, 836.0, {"fused": True}),
         ("fused-th1.0", 1.0, 836.0, {"fused": True}),
         ("fused-360px", 0.12, 360.0, {"fused": True}),
+        # s1-direct A/B at the class-1 face shape (prescale compute
+        # skipped, rotate reads the crop): measured a speed NO-OP vs
+        # fused-360px (4.74 vs 4.76 best, 2026-08-19) — kept as the
+        # formulation-change record; default stays OFF.
+        ("s1direct-360px", 0.12, 360.0,
+         {"fused": True, "s1_direct": True}),
+        ("s1direct-360px-th1.0", 1.0, 360.0,
+         {"fused": True, "s1_direct": True}),
         ("pack1 (r3 baseline)", 0.12, 836.0,
          {"view_pack": 1, "fused": False}),
         ("pack1-th1.0 (r3 baseline)", 1.0, 836.0,
@@ -776,6 +810,19 @@ def cmd_hand(ctx):
     rois_dev = jnp.asarray(rois)
 
     M256 = dict(prescale_m=256, band_p=256, col_split=1)
+
+    def make_run(kw):
+        @jax.jit
+        def run(fr, rr):
+            def body(c, _):
+                out = rotated_sample_fast(
+                    fr, rr + c * 1e-6, 224, 224, 0.0, 1.0, **kw
+                )
+                return c + 1.0, out[:, 0, 0, 0, 0]
+            _, o2 = lax.scan(body, 0.0, None, length=steps)
+            return o2
+        return run
+
     for label, opts in (
         ("rolled-auto (hand default)", dict(square_views=True, **M256)),
         ("rolled-fused", dict(square_views=True, fused=True, **M256)),
@@ -788,21 +835,37 @@ def cmd_hand(ctx):
         if ctx.args.only and ctx.args.only not in label:
             continue
 
-        def make_run(kw):
-            @jax.jit
-            def run(fr, rr):
-                def body(c, _):
-                    out = rotated_sample_fast(
-                        fr, rr + c * 1e-6, 224, 224, 0.0, 1.0, **kw
-                    )
-                    return c + 1.0, out[:, 0, 0, 0, 0]
-                _, o2 = lax.scan(body, 0.0, None, length=steps)
-                return o2
-            return run
-
         run = make_run(opts)
         try:
             stats = ctx.windows(run, frames, rois_dev, label=f"hand {label}")
+            _emit_scan(ctx, "hand_sampler", label, stats, steps, B)
+        except Exception as e:
+            ctx.emit({"bench": "hand_sampler", "config": label,
+                      "error": f"{type(e).__name__}: {e}"[:200]})
+
+    # Stride-1 CLASS-1 batch at the rolled M=256 shape (90-170 px square
+    # views, any rotation — the eye/iris-crop regime): the s1-direct A/B
+    # measures what skipping the prescale compute is worth where it
+    # engages. Measured a NO-OP (11.38 direct vs 11.44 best ms/step,
+    # 2026-08-19) — the conclusive latency-bound proof; default OFF.
+    # (The 180-320 px arms above are class-2 batches; the knob is
+    # invisible there.)
+    rois_s1 = rois.copy()
+    side_s1 = np.random.default_rng(13).uniform(
+        90, 170, (B, S)).astype(np.float32)
+    rois_s1[..., 2] = rois_s1[..., 3] = side_s1
+    rois_s1_dev = jnp.asarray(rois_s1)
+    for label, opts in (
+        ("rolled-s1-170px-direct",
+         dict(square_views=True, s1_direct=True, **M256)),
+        ("rolled-s1-170px-directoff", dict(square_views=True, **M256)),
+    ):
+        if ctx.args.only and ctx.args.only not in label:
+            continue
+        run = make_run(opts)
+        try:
+            stats = ctx.windows(run, frames, rois_s1_dev,
+                                label=f"hand {label}")
             _emit_scan(ctx, "hand_sampler", label, stats, steps, B)
         except Exception as e:
             ctx.emit({"bench": "hand_sampler", "config": label,

@@ -745,6 +745,102 @@ def test_fused_kernel_take_fallback():
     np.testing.assert_array_equal(got, base)
 
 
+def test_s1_direct_bit_identical_hand_rolled():
+    """Stride-1 DIRECT mode (the fused kernel's class-1 branch reads the
+    raw crop, prescale compute skipped): bit-identical to the selection
+    prescale under the hand serving config (rolled M=256), any rotation,
+    including frame-edge views whose OOB sources must stay black.
+    The batch is constructed to be class-1-coverable (asserted), so the
+    branch under test is the one that runs."""
+    from zaru_tpu.ops.rotated_fast import _prescale_coverage_ok
+
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 2))
+    rng = np.random.default_rng(11)
+    rois = np.stack([
+        np.stack([
+            rng.uniform(100, 1800, 2), rng.uniform(80, 1000, 2),
+            rng.uniform(90, 170, 2), rng.uniform(90, 170, 2),
+            rng.uniform(-3.0, 3.0, 2),
+        ], axis=-1)
+        for _ in range(2)
+    ]).astype(np.float32)
+    side = np.maximum(rois[..., 2], rois[..., 3])
+    rois[..., 2] = rois[..., 3] = side
+    # Frame-corner views: OOB sources sample black in both paths.
+    rois[0, 0] = [20, 15, 150, 150, 0.7]
+    rois[1, 1] = [1905, 1070, 160, 160, -2.1]
+    assert bool(_prescale_coverage_ok(
+        jnp.asarray(rois.reshape(-1, 5)), 256, H, W, 1
+    ))
+    opts = dict(prescale_m=256, band_p=256, col_split=1,
+                square_views=True)
+    args = (imgs, jnp.asarray(rois), 224, 224, 0.0, 1.0)
+    base = np.asarray(rotated_sample_fast(
+        *args, interpret=True, fused=True, s1_direct=False, **opts
+    ))
+    got = np.asarray(rotated_sample_fast(
+        *args, interpret=True, fused=True, s1_direct=True, **opts
+    ))
+    np.testing.assert_array_equal(got, base)
+    # And vs the full two-kernel chain (oracle-pinned elsewhere).
+    unfused = np.asarray(rotated_sample_fast(
+        *args, interpret=True, fused=False, **opts
+    ))
+    np.testing.assert_array_equal(got, unfused)
+
+
+def test_s1_direct_bit_identical_face_banded():
+    """Stride-1 DIRECT mode under the face default config (banded
+    resident + x-roll, M=512): bit-identical on class-1 view batches,
+    upright and tilted, and with the crop double-buffer off (nbuf ==
+    pack slots instead of pack + 1)."""
+    from zaru_tpu.ops.rotated_fast import _prescale_coverage_ok
+
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(np.stack([img] * 4))
+    for rects in (
+        [[900, 500, 360, 360, 0.3]] * 4,
+        [[900, 500, 350, 350, 1.0], [400, 300, 200, 200, -1.2],
+         [1500, 700, 340, 340, 2.0], [960, 540, 300, 300, 0.0]],
+    ):
+        rrects = jnp.asarray(np.asarray(rects, np.float32))
+        assert bool(_prescale_coverage_ok(rrects, PRESCALE_M, H, W, 1))
+        args = (imgs, rrects, 192, 192, 0.0, 1.0)
+        base = np.asarray(rotated_sample_fast(
+            *args, interpret=True, fused=True, s1_direct=False
+        ))
+        got = np.asarray(rotated_sample_fast(
+            *args, interpret=True, fused=True, s1_direct=True
+        ))
+        np.testing.assert_array_equal(got, base)
+        nodbuf = np.asarray(rotated_sample_fast(
+            *args, interpret=True, fused=True, s1_direct=True,
+            prescale_dbuf=False,
+        ))
+        np.testing.assert_array_equal(nodbuf, base)
+
+
+def test_s1_direct_higher_classes_unchanged():
+    """s1_direct only rewrites the class-1 branch: stride-2/3 batches
+    route through the selection prescale regardless of the knob."""
+    H, W = 1080, 1920
+    img = coord_image(H, W)
+    imgs = jnp.asarray(img[None])
+    for rect in ([900, 500, 836, 836, 0.12], [900, 500, 836, 836, 1.0]):
+        rrects = jnp.asarray(np.asarray([rect], np.float32))
+        args = (imgs, rrects, 192, 192, 0.0, 1.0)
+        base = np.asarray(rotated_sample_fast(
+            *args, interpret=True, fused=True, s1_direct=False
+        ))
+        got = np.asarray(rotated_sample_fast(
+            *args, interpret=True, fused=True, s1_direct=True
+        ))
+        np.testing.assert_array_equal(got, base)
+
+
 def test_fused_kernel_nonresident_falls_back():
     """fused=True on a config whose rotate stage is NOT VMEM-delivered
     (non-resident banded: M too large for the resident gate) silently

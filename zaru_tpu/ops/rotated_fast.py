@@ -214,12 +214,19 @@ def _prescale_pallas_kernel(
 
 
 def _crop_dma_step(coef_ref, frame_ref, crop, sem, g, pv, n_views, *,
-                   dbuf, S, CH, CW):
+                   dbuf, S, CH, CW, nbuf=None):
     """One view's crop-DMA sequencing (shared by the standalone prescale
     kernel and the fused kernel): issue/wait the bbox-covering crop DMA
     for global view ``g``, double-buffered across the GLOBAL view
     sequence when ``dbuf`` (prefetch view g+1's crop during view g's
-    selection matmuls). Returns the buffer slot holding view g's crop."""
+    selection matmuls). Returns the buffer slot holding view g's crop.
+
+    ``nbuf``: crop-buffer slot count (default 2 when ``dbuf`` else 1).
+    The fused kernel's stride-1 DIRECT mode keeps ``pack + 1`` slots so
+    a whole view block's crops stay live across its rotate grid steps
+    (the rotate reads them in place of the prescaled intermediate)."""
+    if nbuf is None:
+        nbuf = 2 if dbuf else 1
 
     def dma_for(view, slot):
         """Crop DMA for ``view`` into buffer ``slot``. The crop origin
@@ -237,7 +244,7 @@ def _crop_dma_step(coef_ref, frame_ref, crop, sem, g, pv, n_views, *,
         )
 
     if dbuf:
-        cur = lax.rem(g, 2)
+        cur = lax.rem(g, nbuf)
         if pv == 0:
             @pl.when(g == 0)
             def _():
@@ -245,12 +252,12 @@ def _crop_dma_step(coef_ref, frame_ref, crop, sem, g, pv, n_views, *,
 
         @pl.when(g + 1 < n_views)
         def _():
-            dma_for(g + 1, lax.rem(g + 1, 2)).start()
+            dma_for(g + 1, lax.rem(g + 1, nbuf)).start()
 
         dma_for(g, cur).wait()
     else:
-        cur = 0
-        cp = dma_for(g, 0)
+        cur = lax.rem(g, nbuf) if nbuf > 1 else 0
+        cp = dma_for(g, cur)
         cp.start()
         cp.wait()
     return cur
@@ -602,8 +609,22 @@ def _rotate_kernel(
 def _rotate_one_view(
     coef_ref, planar_ref, band, sem, b, pv, blk, cb, lanes, *,
     M, P, XW, out_w, out_h, cols, rows_pb, int8_mxu, hoist_band,
-    rolled, fuse3, resident, xroll,
+    rolled, fuse3, resident, xroll, direct=None,
 ):
+    # ``direct`` (fused stride-1 classes only): read the view's RAW crop
+    # window instead of a prescaled intermediate. At stride 1 the
+    # prescale is a pure translation — intermediate[q] == crop[q + dy,
+    # q + dx] for in-frame sources (dy = ly - ystart, dx = lx - xstart,
+    # both per-view integers) and every OFF-frame source index provably
+    # falls outside the crop-space window clamps ([0, SH - P] x
+    # [0, SW - XW]; crop rows/cols are all in-frame), so the existing
+    # in-window masks yield the same black. The selection math is
+    # unchanged up to the constant shifts — bit-identical by
+    # construction, device-verified (benchsuite parity s1-direct arms).
+    if direct is not None:
+        dsrc, dslot, SH, SW, dy, dx = direct
+    else:
+        SH, SW = M, M
     w = coef_ref[b, 0]
     h = coef_ref[b, 1]
     cth = coef_ref[b, 2]
@@ -654,7 +675,14 @@ def _rotate_one_view(
         ]
         xmin = functools.reduce(jnp.minimum, [c[0] for c in corners])
         ymin = functools.reduce(jnp.minimum, [c[1] for c in corners])
-        start = jnp.clip(jnp.floor(ymin).astype(jnp.int32) - 4, 0, M - P)
+        ybase = jnp.floor(ymin).astype(jnp.int32) - 4
+        xbase = jnp.floor(xmin).astype(jnp.int32)
+        if direct is not None:
+            # Crop-space window: shift by the view's translation and
+            # clamp to the crop dims (8/128-multiples by _crop_shape).
+            ybase = ybase + dy
+            xbase = xbase + dx
+        start = jnp.clip(ybase, 0, SH - P)
         start = pl.multiple_of((start // 8) * 8, 8)
         if rolled:
             # Rolled-window mode (full-band + square views): the
@@ -662,24 +690,18 @@ def _rotate_one_view(
             # because the kernel ROLLS the lanes (below), so the window
             # shrinks to the coverage bound itself (~4x less one-hot
             # contraction).
-            xstart = jnp.clip(
-                jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
-            )
+            xstart = jnp.clip(xbase - 4, 0, SW - XW)
         elif xroll:
             # Banded + x-roll (resident only): like the rolled mode, a
             # dynamic lane roll below replaces the 128-lane alignment, so
             # the window start needs no alignment and XW shrinks to the
             # coverage bound itself (~2x less one-hot contraction than
             # the aligned banded window).
-            xstart = jnp.clip(
-                jnp.floor(xmin).astype(jnp.int32) - 4, 0, M - XW
-            )
+            xstart = jnp.clip(xbase - 4, 0, SW - XW)
         else:
             # Banded config; lane offsets must be 128-aligned (the
             # <=127-column loss is covered by the x-window margin proof).
-            xstart = jnp.clip(
-                jnp.floor(xmin).astype(jnp.int32) - 3, 0, M - XW
-            )
+            xstart = jnp.clip(xbase - 3, 0, SW - XW)
             xstart = pl.multiple_of((xstart // 128) * 128, 128)
 
             if not resident:
@@ -700,8 +722,13 @@ def _rotate_one_view(
     jj = (t % cols).astype(jnp.float32) + j0
     kk = (t // cols).astype(jnp.float32) + k0
     qx, qy = q_of(jj, kk, rounded=True)
-    xrel = jnp.floor(qx + 0.5).astype(jnp.int32) - xstart  # [1, lanes]
-    yrel = jnp.floor(qy + 0.5).astype(jnp.int32) - start
+    jq = jnp.floor(qx + 0.5).astype(jnp.int32)  # [1, lanes]
+    kq = jnp.floor(qy + 0.5).astype(jnp.int32)
+    if direct is not None:
+        jq = jq + dx
+        kq = kq + dy
+    xrel = jq - xstart  # [1, lanes]
+    yrel = kq - start
     # Out-of-range columns/rows select nothing -> sample 0 (black), same
     # as the OOB rule; in-range selections are exact one-hots. (Window
     # starts are clamped to [0, M-size], so "in window" implies "inside
@@ -710,6 +737,13 @@ def _rotate_one_view(
     iota_p = lax.broadcasted_iota(jnp.int32, (P, lanes), 0)
     my = (iota_p == yrel)                                   # [P, lanes]
 
+    def _src_window(rows, cols_slice):
+        # Direct mode reads the view's raw crop slot; otherwise the
+        # prescaled intermediate's per-view VMEM block.
+        if direct is not None:
+            return dsrc[dslot, rows, cols_slice]
+        return planar_ref[pv, rows, cols_slice]
+
     if hoist_band and rolled:
         # Window extraction from the resident u32 intermediate: 8-aligned
         # dynamic y-slice, then a 128-aligned lane pre-slice of width
@@ -717,10 +751,10 @@ def _rotate_one_view(
         # ``xstart`` to lane 0. Rolling u32 pixels needs no bitcast
         # (Mosaic's dynamic rotate is 32-bit), and the narrow pre-slice
         # keeps the roll ~4x cheaper than rolling the full M lanes.
-        x128 = jnp.clip((xstart // 128) * 128, 0, M - (XW + 128))
+        x128 = jnp.clip((xstart // 128) * 128, 0, SW - (XW + 128))
         x128 = pl.multiple_of(x128, 128)
         off = xstart - x128  # in [0, 128]
-        win = planar_ref[pv, pl.ds(start, P), pl.ds(x128, XW + 128)]
+        win = _src_window(pl.ds(start, P), pl.ds(x128, XW + 128))
         win = pltpu.roll(win, (XW + 128) - off, axis=1)[:, :XW]
         band = win  # [P, XW] u32
     elif hoist_band:
@@ -732,13 +766,13 @@ def _rotate_one_view(
         # rolled mode, under banded blocking — works for any views, no
         # square promise needed, since the x-span LP bound is
         # rotation-independent).
-        x128 = jnp.clip((xstart // 128) * 128, 0, M - (XW + 128))
+        x128 = jnp.clip((xstart // 128) * 128, 0, SW - (XW + 128))
         x128 = pl.multiple_of(x128, 128)
         off = xstart - x128  # in [0, 128]
-        win = planar_ref[pv, pl.ds(start, P), pl.ds(x128, XW + 128)]
+        win = _src_window(pl.ds(start, P), pl.ds(x128, XW + 128))
         band = pltpu.roll(win, (XW + 128) - off, axis=1)[:, :XW]
     elif resident:
-        band = planar_ref[pv, pl.ds(start, P), pl.ds(xstart, XW)]
+        band = _src_window(pl.ds(start, P), pl.ds(xstart, XW))
     else:
         cp.wait()
         band = band[:]
@@ -807,7 +841,7 @@ def _fused_kernel(
     pcoef_ref, rcoef_ref, frame_ref, out_ref, crop, rs, inter, sem, *,
     M, CH, CW, RW, CWW, H, W, S, dbuf, RQ, CQ, pack,
     P, XW, out_w, out_h, cols, rows_pb, int8_mxu, hoist_band, rolled,
-    fuse3, resident, xroll,
+    fuse3, resident, xroll, direct=False, nbuf=None,
 ):
     """Fused prescale+rotate (TODO_NEXT r4 #1a): one kernel runs both
     sampler stages, so the ``[N, M, M] u32`` intermediate lives ONLY in
@@ -829,7 +863,15 @@ def _fused_kernel(
 
     Bit-identical to the two-kernel path by construction: both stages
     are the same `_prescale_view_compute` / `_rotate_one_view` bodies on
-    the same coefs."""
+    the same coefs.
+
+    ``direct`` (stride-1 classes only): skip the prescale compute
+    entirely — at stride 1 the intermediate is a pure TRANSLATION of
+    the crop, so the rotate stage reads the crop scratch itself with
+    the per-view (dy, dx) = (ly - ystart, lx - xstart) shift folded
+    into its window offsets (see `_rotate_one_view`). ``nbuf`` crop
+    slots (pack + 1) keep a view block's crops live across its rotate
+    grid steps; ``rs``/``inter`` are unused (None)."""
     b0 = pl.program_id(0)
     blk = pl.program_id(1)
     cb = pl.program_id(2)
@@ -842,21 +884,36 @@ def _fused_kernel(
             g = b0 * pack + pv
             cur = _crop_dma_step(
                 pcoef_ref, frame_ref, crop, sem, g, pv, n_views,
-                dbuf=dbuf, S=S, CH=CH, CW=CW,
+                dbuf=dbuf, S=S, CH=CH, CW=CW, nbuf=nbuf,
             )
-            _prescale_view_compute(
-                pcoef_ref, g, crop, cur, rs, inter, pv,
-                M=M, CH=CH, CW=CW, RW=RW, CWW=CWW, H=H, W=W, RQ=RQ,
-                CQ=CQ,
-            )
+            if not direct:
+                _prescale_view_compute(
+                    pcoef_ref, g, crop, cur, rs, inter, pv,
+                    M=M, CH=CH, CW=CW, RW=RW, CWW=CWW, H=H, W=W, RQ=RQ,
+                    CQ=CQ,
+                )
 
     for pv in range(pack):
+        g = b0 * pack + pv
+        if direct:
+            nb = nbuf if nbuf is not None else (2 if dbuf else 1)
+            d = (
+                crop,
+                lax.rem(g, nb),
+                CH,
+                CW,
+                pcoef_ref[g, 2] - pcoef_ref[g, 0],  # dy = ly - ystart
+                pcoef_ref[g, 3] - pcoef_ref[g, 1],  # dx = lx - xstart
+            )
+        else:
+            d = None
         out_ref[pv, 0, 0] = _rotate_one_view(
-            rcoef_ref, inter, None, None, b0 * pack + pv, pv, blk, cb,
+            rcoef_ref, inter, None, None, g, pv, blk, cb,
             lanes,
             M=M, P=P, XW=XW, out_w=out_w, out_h=out_h, cols=cols,
             rows_pb=rows_pb, int8_mxu=int8_mxu, hoist_band=hoist_band,
             rolled=rolled, fuse3=fuse3, resident=resident, xroll=xroll,
+            direct=d,
         )
 
 
@@ -867,7 +924,7 @@ def _fused_kernel(
         "col_split", "win_x", "int8_mxu", "rows_per_block", "square_views",
         "pallas_prescale", "fuse3", "resident", "xroll", "prescale_dbuf",
         "view_pack", "prescale_rq", "prescale_cq", "prescale_pack",
-        "fused",
+        "fused", "s1_direct",
     ),
 )
 def rotated_sample_fast(
@@ -896,6 +953,7 @@ def rotated_sample_fast(
     prescale_cq: int | None = None,
     prescale_pack: int | None = None,
     fused: bool | None = None,
+    s1_direct: bool | None = None,
 ):
     """Fast rotated-view sample + color map.
 
@@ -999,6 +1057,25 @@ def rotated_sample_fast(
       11.48/11.76 (benchsuite sampler/hand fused arms, 2026-08-19).
       Pass False to A/B the two-kernel path (``prescale_pack`` applies
       only there).
+    - ``s1_direct``: in the FUSED kernel's stride-1 crop class, skip the
+      prescale compute entirely — at stride 1 the intermediate is a
+      pure translation of the view's crop, so the rotate stage reads
+      the crop scratch itself with the per-view (dy, dx) shift folded
+      into its window offsets. Every off-frame source index provably
+      falls outside the crop-space window clamps (crop rows/cols are
+      all in-frame), so the in-window masks reproduce the OOB-black
+      semantics — bit-identical by construction, device-verified
+      (benchsuite parity s1-direct arms, incl. a frame-corner OOB
+      view). Admissible for the rolled / resident-banded rotate modes
+      (every shipped stride-1 serving shape). MEASURED A SPEED NO-OP
+      on device (2026-08-19, batch 128/64x4 best ms/step: face 360 px
+      banded 4.74 direct vs 4.76 selection; rolled 170 px 11.38 vs
+      11.44 — benchsuite sampler/hand s1 arms): deleting the entire
+      class-1 selection compute moves nothing, the conclusive proof
+      that the sampler is bound by its per-view serial DMA/grid-step
+      chain, not by selection math. Default OFF (the established
+      selection path stays shipped); True engages the direct mode —
+      kept, with its parity arms, as the formulation-change record.
     """
     assert rrect.shape[0] == image_u8.shape[0] and rrect.shape[-1] == 5
     # Mosaic is TPU-only; on CPU (unit tests, virtual meshes) the kernel
@@ -1336,14 +1413,39 @@ def rotated_sample_fast(
         rq_ = prescale_rq or PRESCALE_RQ
         cq_ = prescale_cq or PRESCALE_CQ
         dbuf_ = True if prescale_dbuf is None else prescale_dbuf
-        nbuf = 2 if dbuf_ else 1
-        # Crops + inter scratch + rs scratch + pipelined out blocks,
-        # plus ~8 MB for Mosaic temporaries and headroom (same sizing
-        # rationale as `_prescale_pallas`).
-        vmem_demand = (
-            nbuf * CHc * CWc * 4 + pack * M * M * 4 + 3 * rq_ * CWc
-            + 2 * pack * 3 * lanes * 4
+        # Stride-1 DIRECT mode: the class-1 intermediate is a pure
+        # translation of the crop, so the rotate stage reads the crop
+        # scratch itself and the prescale compute (row/col selection
+        # matmuls, channel unpack/repack, inter writes) vanishes.
+        # Admissible for the window-read rotate modes (rolled /
+        # resident banded) whose crop-space window clamps preserve the
+        # OOB-black semantics; the crop dims carry the needed 8/128
+        # alignment by _crop_shape. ``pack + 1`` crop slots keep a view
+        # block's crops live across its rotate steps (+1 = the next
+        # block's prefetch target).
+        direct_c = (
+            s1_direct_on and smax == 1
+            and (rolled or resident)
+            and CHc % 8 == 0 and CWc % 128 == 0 and CHc >= P
+            and (
+                CWc >= XW + 128 and XW % 128 == 0
+                if (rolled or xroll) else CWc >= XW
+            )
         )
+        if direct_c:
+            nbuf = (pack + 1) if dbuf_ else pack
+            vmem_demand = (
+                nbuf * CHc * CWc * 4 + 2 * pack * 3 * lanes * 4
+            )
+        else:
+            nbuf = 2 if dbuf_ else 1
+            # Crops + inter scratch + rs scratch + pipelined out blocks,
+            # plus ~8 MB for Mosaic temporaries and headroom (same sizing
+            # rationale as `_prescale_pallas`).
+            vmem_demand = (
+                nbuf * CHc * CWc * 4 + pack * M * M * 4 + 3 * rq_ * CWc
+                + 2 * pack * 3 * lanes * 4
+            )
         vmem_limit = min(vmem_demand + 8 * 2**20, 100 * 2**20)
         kern = functools.partial(
             _fused_kernel, M=M, CH=CHc, CW=CWc,
@@ -1352,13 +1454,32 @@ def rotated_sample_fast(
             P=P, XW=XW, out_w=out_w, out_h=out_h, cols=cols,
             rows_pb=rows_pb, int8_mxu=int8_mxu, hoist_band=hoist_band,
             rolled=rolled, fuse3=fuse3, resident=resident, xroll=xroll,
+            direct=direct_c, nbuf=nbuf,
         )
+        if direct_c:
+            # No rs / inter scratch in direct mode — different
+            # pallas_call scratch arity.
+            def kern_call(pc, rc, fr, out, crop_s, sem_s):
+                kern(pc, rc, fr, out, crop_s, None, None, sem_s)
+
+            scratch = [
+                pltpu.VMEM((nbuf, CHc, CWc), jnp.uint32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ]
+        else:
+            kern_call = kern
+            scratch = [
+                pltpu.VMEM((nbuf, CHc, CWc), jnp.uint32),
+                pltpu.VMEM((3 * rq_, CWc), jnp.int8),
+                pltpu.VMEM((pack, M, M), jnp.uint32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ]
 
         def call(ops):
             img32, rrf = ops
             pcoefs = _prescale_coefs(rrf.reshape(N, 5), M, H, W, smax)
             return pl.pallas_call(
-                kern,
+                kern_call,
                 grid=(N // pack, n_blocks, col_split),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # pcoefs [N, 6]
@@ -1367,14 +1488,9 @@ def rotated_sample_fast(
                 ],
                 out_specs=out_spec,
                 out_shape=out_struct,
-                scratch_shapes=[
-                    pltpu.VMEM((nbuf, CHc, CWc), jnp.uint32),
-                    pltpu.VMEM((3 * rq_, CWc), jnp.int8),
-                    pltpu.VMEM((pack, M, M), jnp.uint32),
-                    pltpu.SemaphoreType.DMA((nbuf,)),
-                ],
-                # DMA double-buffering and the inter scratch carry state
-                # across grid steps: strictly sequential grid.
+                scratch_shapes=scratch,
+                # DMA double-buffering and the inter/crop scratches carry
+                # state across grid steps: strictly sequential grid.
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=(
                         "arbitrary", "arbitrary", "arbitrary"
@@ -1393,6 +1509,12 @@ def rotated_sample_fast(
     # the exact fallback.
     fused_ok = bool(pallas_prescale) and (hoist_band or resident)
     use_fused = fused_ok if fused is None else (bool(fused) and fused_ok)
+    # s1_direct rides the fused kernel only; per-class admission lives
+    # in fused_call_for (needs the class's crop dims). Default OFF: the
+    # mode measured a speed NO-OP at both class-1 serving shapes (see
+    # the docstring), so the established selection-prescale path stays
+    # the shipped default and the knob remains as the A/B record.
+    s1_direct_on = bool(s1_direct)
     if use_fused:
         out = class_chain(
             lambda ops: rotate_call(take_path(ops)), fused_call_for
