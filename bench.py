@@ -18,11 +18,15 @@ Methodology
 Measured loop = honest production cadence: a full detection pass every 9
 frames (the reference's 300 ms redetect at 30 fps, hand/tracking.rs:41),
 landmark+smooth every frame, over multi-step ``lax.scan`` dispatches.
-Configurations: batch 384 (the headline, since the metric is frames/sec/
-chip: the round-3 batch sweep measured 9.7k/11.2k/12.9k/12.7k fps at
-128/256/384/512 — the landmark CNN's per-layer latency floor amortizes
-with batch until HBM pressure bites at 512, and 1024 OOMs; 384 is also
-the largest batch whose ~30 ms step keeps a 30 fps stream real-time) and
+Configurations: batch 512 (the headline, since the metric is frames/sec/
+chip: pre-fusion the round-3 sweep peaked at 384 — 9.7k/11.2k/12.9k/
+12.7k fps at 128/256/384/512, HBM pressure biting at 512 — but the
+round-4 fused sampler kernel removed the [N, M, M] u32 HBM intermediate
+and the post-fusion sweep measured 15,096/11,426/15,207/14,853 fps at
+384/448/512/640, so 512 is the throughput knee now; batch 384 remains
+the REAL-TIME configuration — its ~25 ms step keeps a 30 fps stream
+under 33.3 ms, where 512's ~34 ms step is marginally over — and stays
+reachable via ZARU_BENCH_BATCH_LARGE=384) and
 batch 8 (BASELINE config 5: "8 batched 1080p streams", also yields the
 p50 step latency — reported both tunnel-inclusive and as an on-device
 estimate, since ~32 ms of the single-step p50 on this box is the remote
@@ -51,7 +55,7 @@ occasionally-wedging chip:
   a window comfortably beats the healthy level OR the best-so-far
   plateaus (contention is persistent load, not a quota — idling between
   attempts only wastes budget);
-- the parent runs the batch-384 headline first under a HARD cap, then
+- the parent runs the large-batch headline first under a HARD cap, then
   hands batch-8 — whose fps and p50 are required artifact contents —
   the whole remaining wall budget (ZARU_BENCH_BUDGET, default 1140 s),
   retries the headline with any leftover, answers SIGTERM/SIGINT with
@@ -76,7 +80,7 @@ CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
 BASELINE_FPS = 2000.0
 BATCH_SMALL = int(os.environ.get("ZARU_BENCH_BATCH", "8"))
-BATCH_LARGE = int(os.environ.get("ZARU_BENCH_BATCH_LARGE", "384"))
+BATCH_LARGE = int(os.environ.get("ZARU_BENCH_BATCH_LARGE", "512"))
 SCAN_STEPS = int(os.environ.get("ZARU_BENCH_SCAN", "16"))
 BUDGET = float(os.environ.get("ZARU_BENCH_BUDGET", "1140"))
 DETECT_EVERY = 9
@@ -91,15 +95,17 @@ DETECT_EVERY = 9
 # is to keep measuring until the windows plateau, not to idle.)
 def quiet_fps(batch: int) -> float:
     # Batch 8 is dominated by batch-independent per-step cost. Headline
-    # batch: with round 4's view_pack auto default the production
-    # cadence measured 14,219 fps best / 13,912 median at batch 384 and
-    # 10,128 at batch 128 (benchsuite batch-sweep, 2026-08-19).
-    # Early-exit sits just under the quiet rate so a healthy run records
-    # the real headline; contended runs fall through to the plateau rule
-    # instead of stopping early.
+    # batch: with round 4's fused sampler kernel the production cadence
+    # measured 15,207 fps best / 15,144 median at batch 512, 15,096 /
+    # 14,750 at 384, and 11,072 at 128 (benchsuite cascade/batch-sweep,
+    # 2026-08-19). Early-exit sits just under the quiet rate so a
+    # healthy run records the real headline; contended runs fall
+    # through to the plateau rule instead of stopping early.
+    if batch >= 450:
+        return 14900.0
     if batch >= 300:
-        return 13800.0
-    return 9900.0 if batch >= 64 else 1050.0
+        return 14500.0
+    return 10800.0 if batch >= 64 else 1050.0
 
 
 def log(*a):
