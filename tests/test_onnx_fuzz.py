@@ -6,10 +6,13 @@ reader + JAX op registry, so its correctness surface must be hardened
 beyond the 10 bundled models. Each seeded case authors a random graph
 with :mod:`zaru_tpu.onnx.writer` over the dialect's CNN idioms —
 convs (incl. depthwise / grouped / asymmetric pads / strides / odd
-channel counts), activations, pools, pads, resize, residual adds,
-concat, reductions, reshape/transpose, gemm — and cross-checks the
-imported JAX lowering against the independent torch oracle
-(tests/torch_ref.py) on random inputs.
+channel counts), transposed convs, activations (incl. LeakyRelu /
+HardSigmoid / Elu / Tanh / mid-graph Softmax), batch / instance
+normalization, pools, pads, resize, residual add/mul/max/min/sub,
+concat, channel/strided slices, channel splits (with a dangling
+output), reductions, reshape/transpose, gemm / matmul+softmax heads —
+and cross-checks the imported JAX lowering against the independent
+torch oracle (tests/torch_ref.py) on random inputs.
 
 Any divergence is a real importer (or oracle) bug: both lowerings are
 written independently against the ONNX spec.
@@ -102,7 +105,10 @@ class GraphGen:
 
     def op_act(self):
         rng = self.rng
-        kind = rng.choice(["Relu", "Sigmoid", "Clip", "PRelu"])
+        kind = rng.choice([
+            "Relu", "Sigmoid", "Clip", "PRelu", "LeakyRelu", "HardSigmoid",
+            "Tanh", "Elu", "Softmax",
+        ])
         out = self._name(str(kind).lower())
         if kind == "Clip":
             lo = self._init("lo", np.asarray(0.0, np.float32))
@@ -114,6 +120,17 @@ class GraphGen:
                 rng.uniform(0.05, 0.4, (self.shape[1], 1, 1)).astype(np.float32),
             )
             self.w.node("PRelu", [self.cur, slope], [out])
+        elif kind == "LeakyRelu":
+            self.w.node("LeakyRelu", [self.cur], [out],
+                        alpha=float(rng.uniform(0.05, 0.3)))
+        elif kind == "HardSigmoid":
+            self.w.node("HardSigmoid", [self.cur], [out],
+                        alpha=0.2, beta=0.5)
+        elif kind == "Elu":
+            self.w.node("Elu", [self.cur], [out],
+                        alpha=float(rng.uniform(0.5, 1.5)))
+        elif kind == "Softmax":
+            self.w.node("Softmax", [self.cur], [out], axis=1)
         else:
             self.w.node(str(kind), [self.cur], [out])
         self.cur = out
@@ -125,9 +142,95 @@ class GraphGen:
             return False
         other = mates[int(self.rng.integers(0, len(mates)))]
         out = self._name("add")
-        op = "Add" if self.rng.random() < 0.7 else "Mul"
+        op = str(self.rng.choice(["Add", "Add", "Mul", "Max", "Min", "Sub"]))
         self.w.node(op, [self.cur, other], [out])
         self.cur = out
+        return True
+
+    def op_norm(self):
+        """BatchNormalization (inference form) or InstanceNormalization
+        with random per-channel parameters."""
+        rng = self.rng
+        c = self.shape[1]
+        scale = self._init("bns", rng.uniform(0.5, 1.5, (c,)).astype(np.float32))
+        bias = self._init("bnb", rng.normal(0, 0.3, (c,)).astype(np.float32))
+        out = self._name("norm")
+        if rng.random() < 0.5:
+            mean = self._init("bnm", rng.normal(0, 0.5, (c,)).astype(np.float32))
+            var = self._init("bnv", rng.uniform(0.3, 2.0, (c,)).astype(np.float32))
+            self.w.node(
+                "BatchNormalization", [self.cur, scale, bias, mean, var],
+                [out], epsilon=1e-5,
+            )
+        else:
+            self.w.node(
+                "InstanceNormalization", [self.cur, scale, bias], [out],
+                epsilon=1e-5,
+            )
+        self.cur = out
+        return True
+
+    def op_slice(self):
+        """Channel slice (opset-10 input style), sometimes a strided
+        spatial slice — exercises _need_static routing of int64 inits."""
+        rng = self.rng
+        _, c, h, wd = self.shape
+        if rng.random() < 0.6 and c > 2:
+            keep = int(rng.integers(2, c))
+            starts, ends, axes, steps = [0], [keep], [1], [1]
+            self.shape = [1, keep, h, wd]
+        elif h >= 5:
+            starts, ends, axes, steps = [0], [h], [2], [2]
+            self.shape = [1, c, -(-h // 2), wd]
+        else:
+            return False
+        sn = self._init("sst", np.asarray(starts, np.int64))
+        en = self._init("sen", np.asarray(ends, np.int64))
+        an = self._init("sax", np.asarray(axes, np.int64))
+        tn = self._init("sstp", np.asarray(steps, np.int64))
+        out = self._name("slice")
+        self.w.node("Slice", [self.cur, sn, en, an, tn], [out])
+        self.cur = out
+        return True
+
+    def op_split(self):
+        """Equal channel split; the graph continues with one half (the
+        other output dangles — importers must tolerate unused outputs)."""
+        c = self.shape[1]
+        if c % 2 or c < 4:
+            return False
+        o1, o2 = self._name("sp"), self._name("sp")
+        self.w.node("Split", [self.cur], [o1, o2], axis=1)
+        self.cur = o1 if self.rng.random() < 0.5 else o2
+        self.shape = [1, c // 2, self.shape[2], self.shape[3]]
+        return True
+
+    def op_convtranspose(self):
+        """Stride-2 transposed conv (the decoder/upsample idiom),
+        symmetric pads, optional bias."""
+        rng = self.rng
+        _, c, h, wd = self.shape
+        k = int(rng.choice([2, 3]))
+        p = int(rng.integers(0, min(2, k)))
+        cout = int(rng.choice([3, 4, 6]))
+        wname = self._init(
+            "tw", rng.normal(0, 0.3, (c, cout, k, k)).astype(np.float32)
+        )
+        ins = [self.cur, wname]
+        if rng.random() < 0.5:
+            ins.append(
+                self._init("tb", rng.normal(0, 0.2, (cout,)).astype(np.float32))
+            )
+        out = self._name("convt")
+        self.w.node(
+            "ConvTranspose", ins, [out], kernel_shape=[k, k],
+            strides=[2, 2], pads=[p, p, p, p], group=1,
+        )
+        h2 = (h - 1) * 2 - 2 * p + k
+        w2 = (wd - 1) * 2 - 2 * p + k
+        if h2 < 2 or w2 < 2:
+            return False
+        self.cur, self.shape = out, [1, cout, h2, w2]
         return True
 
     def op_scale(self):
@@ -200,8 +303,20 @@ class GraphGen:
         """Random head: raw NCHW output, GAP->Gemm, reduce, or
         transpose+reshape flatten."""
         rng = self.rng
-        head = rng.choice(["raw", "gemm", "reduce", "flatten"])
-        if head == "gemm":
+        head = rng.choice(["raw", "gemm", "reduce", "flatten", "softmax"])
+        if head == "softmax":
+            # GAP -> Flatten -> MatMul -> Softmax: the classifier tail.
+            self.w.node("GlobalAveragePool", [self.cur], ["gap"])
+            self.w.node("Flatten", ["gap"], ["flat"], axis=1)
+            n_out = int(rng.choice([4, 7]))
+            wname = self._init(
+                "mw",
+                rng.normal(0, 0.3, (self.shape[1], n_out)).astype(np.float32),
+            )
+            self.w.node("MatMul", ["flat", wname], ["logits"])
+            self.w.node("Softmax", ["logits"], ["out"], axis=-1)
+            out_shape = (1, n_out)
+        elif head == "gemm":
             self.w.node("GlobalAveragePool", [self.cur], ["gap"])
             shp = self._init("shp", np.asarray([1, self.shape[1]], np.int64))
             self.w.node("Reshape", ["gap", shp], ["flat"])
@@ -235,7 +350,9 @@ class GraphGen:
         ops = [
             (self.op_conv, 4), (self.op_act, 3), (self.op_residual, 2),
             (self.op_scale, 1), (self.op_pad, 1), (self.op_pool, 2),
-            (self.op_resize, 1), (self.op_concat, 1),
+            (self.op_resize, 1), (self.op_concat, 1), (self.op_norm, 2),
+            (self.op_slice, 1), (self.op_split, 1),
+            (self.op_convtranspose, 1),
         ]
         fns = [f for f, w in ops for _ in range(w)]
         placed = 0
@@ -253,7 +370,7 @@ class GraphGen:
         return self.finish()
 
 
-@pytest.mark.parametrize("seed", range(24))
+@pytest.mark.parametrize("seed", range(40))
 def test_fuzz_graph_matches_torch_oracle(seed):
     rng = np.random.default_rng(seed)
     gen = GraphGen(rng)
@@ -273,7 +390,7 @@ def test_fuzz_graph_matches_torch_oracle(seed):
         np.testing.assert_allclose(g, np.asarray(t), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzz_graph_nhwc_layout_matches(seed):
     """The NHWC-internal import of the same random graph keeps the ONNX
     I/O contract (onnx/layout.py)."""

@@ -52,6 +52,114 @@ def run_torch(model: OnnxModel, inputs: list[np.ndarray]) -> list[np.ndarray]:
                 )
         elif op == "Relu":
             out = F.relu(ins[0])
+        elif op == "LeakyRelu":
+            out = F.leaky_relu(ins[0], float(a.get("alpha", 0.01)))
+        elif op == "HardSigmoid":
+            out = torch.clamp(
+                float(a.get("alpha", 0.2)) * ins[0] + float(a.get("beta", 0.5)),
+                0.0, 1.0,
+            )
+        elif op == "Tanh":
+            out = torch.tanh(ins[0])
+        elif op == "Elu":
+            out = F.elu(ins[0], float(a.get("alpha", 1.0)))
+        elif op == "Softmax":
+            out = torch.softmax(ins[0], dim=int(a.get("axis", -1)))
+        elif op == "Exp":
+            out = torch.exp(ins[0])
+        elif op == "Sqrt":
+            out = torch.sqrt(ins[0])
+        elif op == "Abs":
+            out = torch.abs(ins[0])
+        elif op == "Neg":
+            out = -ins[0]
+        elif op == "Floor":
+            out = torch.floor(ins[0])
+        elif op == "Ceil":
+            out = torch.ceil(ins[0])
+        elif op == "Round":
+            # ONNX Round = round-half-to-even; torch.round matches.
+            out = torch.round(ins[0])
+        elif op == "Max":
+            out = ins[0]
+            for v in ins[1:]:
+                out = torch.maximum(out, v)
+        elif op == "Min":
+            out = ins[0]
+            for v in ins[1:]:
+                out = torch.minimum(out, v)
+        elif op == "Pow":
+            out = torch.pow(ins[0], ins[1])
+        elif op == "BatchNormalization":
+            x, scale, bias, mean, var = ins[:5]
+            eps = float(a.get("epsilon", 1e-5))
+            shp = (1, -1) + (1,) * (x.dim() - 2)
+            out = (x - mean.reshape(shp)) / torch.sqrt(
+                var.reshape(shp) + eps
+            ) * scale.reshape(shp) + bias.reshape(shp)
+        elif op == "InstanceNormalization":
+            x, scale, bias = ins[:3]
+            eps = float(a.get("epsilon", 1e-5))
+            dims = tuple(range(2, x.dim()))
+            mean = x.mean(dim=dims, keepdim=True)
+            var = x.var(dim=dims, keepdim=True, unbiased=False)
+            shp = (1, -1) + (1,) * (x.dim() - 2)
+            out = (x - mean) / torch.sqrt(var + eps) * scale.reshape(
+                shp
+            ) + bias.reshape(shp)
+        elif op == "MatMul":
+            out = ins[0] @ ins[1]
+        elif op == "Flatten":
+            axis = int(a.get("axis", 1))
+            lead = int(np.prod(ins[0].shape[:axis])) if axis > 0 else 1
+            out = ins[0].reshape(lead, -1)
+        elif op == "Slice":
+            data = ins[0]
+            if "starts" in a:  # opset < 10
+                starts, ends = a["starts"], a["ends"]
+                axes = a.get("axes", list(range(len(starts))))
+                steps = [1] * len(starts)
+            else:
+                starts = ins[1].numpy().tolist()
+                ends = ins[2].numpy().tolist()
+                axes = (
+                    ins[3].numpy().tolist()
+                    if len(ins) > 3 and ins[3] is not None
+                    else list(range(len(starts)))
+                )
+                steps = (
+                    ins[4].numpy().tolist()
+                    if len(ins) > 4 and ins[4] is not None
+                    else [1] * len(starts)
+                )
+            slicers = [slice(None)] * data.dim()
+            for s0, e0, ax, st in zip(starts, ends, axes, steps):
+                slicers[int(ax)] = slice(int(s0), int(e0), int(st))
+            out = data[tuple(slicers)]
+        elif op == "Split":
+            axis = int(a.get("axis", 0))
+            split = a.get("split")
+            if split is None and len(ins) > 1 and ins[1] is not None:
+                split = ins[1].numpy().tolist()
+            if split is None:
+                split = ins[0].shape[axis] // len(node.outputs)
+            else:
+                split = [int(s) for s in split]
+            out = list(torch.split(ins[0], split, dim=axis))
+        elif op == "ConvTranspose":
+            x, w = ins[0], ins[1]
+            b = ins[2] if len(ins) > 2 else None
+            pads = a.get("pads", [0, 0, 0, 0])
+            assert pads[0] == pads[2] and pads[1] == pads[3], (
+                "oracle handles symmetric ConvTranspose pads only"
+            )
+            out = F.conv_transpose2d(
+                x, w, b, stride=a.get("strides", [1, 1]),
+                padding=(pads[0], pads[1]),
+                output_padding=a.get("output_padding", [0, 0]),
+                groups=int(a.get("group", 1)),
+                dilation=a.get("dilations", [1, 1]),
+            )
         elif op == "PRelu":
             slope = ins[1]
             out = torch.where(ins[0] < 0, slope * ins[0], ins[0])
