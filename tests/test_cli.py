@@ -80,6 +80,28 @@ def test_serve_two_streams(tmp_path):
     assert all(min(r["confidence"]) > 0.9 for r in recs)
 
 
+def test_export_roundtrip(tmp_path, capsys):
+    """`export --verify` writes a StableHLO artifact, reloads it, and
+    runs the restored step — the deployment path end to end."""
+    out = tmp_path / "face_step.stablehlo"
+    rc = main(
+        [
+            "export",
+            str(out),
+            "--height",
+            "288",
+            "--width",
+            "384",
+            "--verify",
+        ]
+    )
+    assert rc == 0
+    assert out.stat().st_size > 100_000  # weights are baked in
+    err = capsys.readouterr().err
+    assert "exported face single-stream step" in err
+    assert "verify: reloaded and ran" in err and "landmarks" in err
+
+
 def test_track_rejects_iris_off_face():
     with pytest.raises(SystemExit):
         main(["track", "x.mp4", "--pipeline", "hand", "--iris"])

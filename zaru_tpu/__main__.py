@@ -10,6 +10,8 @@ pipelines over offline inputs:
         [--out out.jsonl] [--annotate DIR] [--max-frames N] [--slots K]
     python -m zaru_tpu serve INPUT... --streams N [--pipeline ...]
         [--steps N] [--out out.jsonl] [--landmarks]
+    python -m zaru_tpu export OUT [--pipeline ...] [--batch N]
+        [--height H] [--width W] [--verify]
 
 ``track`` reads INPUT (video file, GIF/APNG animation, single image, or a
 directory of images), runs the chosen fused cascade one stream at a time,
@@ -18,6 +20,9 @@ and writes one JSON line per frame (landmarks in image coordinates).
 from the INPUT sources (each looped when exhausted), decoded on a host
 thread pool, uploaded double-buffered (`pipeline.ingest.FrameUploader`),
 and stepped through the batch-gated cascade — one JSON line per step.
+``export`` AOT-exports a fused pipeline step (weights baked in) as a
+portable StableHLO artifact via ``jax.export`` — the deployment analog
+of the reference compiling model bytes into its binary (build.rs:1-3).
 ``info`` reports the runtime (JAX version, devices) and which model blobs
 resolve through the ``ZARU_TPU_MODELS`` search chain — the first thing to
 check when a wrapper raises ``ModelMissingError``.
@@ -260,6 +265,50 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-export a fused pipeline step to a StableHLO artifact.
+
+    The reference's deployment story is compiling model bytes into the
+    Rust binary (build.rs:1-3 `include_blob`); the TPU-native analog is
+    an ahead-of-time ``jax.export`` artifact: the whole cascade step —
+    weights baked in as constants — serialized once, reloadable without
+    any of the model-building Python, and runnable on any matching
+    device topology with zero retrace cost.
+    """
+    import numpy as np
+
+    from .export import export_fn, load_exported
+
+    tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
+    if args.batch:
+        state = tracker.init_state(batch=args.batch)
+        frames = np.zeros(
+            (args.batch, args.height, args.width, 4), dtype=np.uint8
+        )
+        # The batch-gated serving step (`run_frames_gated`'s program).
+        fn = lambda st, fs: tracker.step_batch(tracker.params, st, fs)  # noqa: E731
+        kind = f"step_batch (gated), batch {args.batch}"
+    else:
+        state = tracker.init_state()
+        frames = np.zeros((args.height, args.width, 4), dtype=np.uint8)
+        fn = lambda st, f: tracker.step(tracker.params, st, f)  # noqa: E731
+        kind = "single-stream step"
+    out_path = Path(args.out)
+    export_fn(fn, (state, frames), out_path)
+    size = out_path.stat().st_size
+    print(
+        f"exported {args.pipeline} {kind} for {args.height}x{args.width} "
+        f"frames -> {out_path} ({size / 1e6:.2f} MB)",
+        file=sys.stderr,
+    )
+    if args.verify:
+        restored = load_exported(out_path)
+        new_state, out = restored(state, frames)
+        shapes = {k: list(np.asarray(v).shape) for k, v in out.items()}
+        print(f"verify: reloaded and ran; outputs {shapes}", file=sys.stderr)
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -331,6 +380,29 @@ def main(argv=None) -> int:
     )
     p_serve.add_argument("--report-every", type=int, default=10)
     p_serve.set_defaults(fn=cmd_serve)
+
+    p_export = sub.add_parser(
+        "export",
+        help="AOT-export a fused pipeline step as a StableHLO artifact",
+    )
+    p_export.add_argument("out", help="artifact output path")
+    p_export.add_argument(
+        "--pipeline", default="face", choices=("face", "hand", "body")
+    )
+    p_export.add_argument("--iris", action="store_true")
+    p_export.add_argument("--slots", type=int, default=4)
+    p_export.add_argument(
+        "--batch", type=int, default=0,
+        help="export the batch-gated serving step for N streams "
+        "(default 0 = single-stream step)",
+    )
+    p_export.add_argument("--height", type=int, default=1080)
+    p_export.add_argument("--width", type=int, default=1920)
+    p_export.add_argument(
+        "--verify", action="store_true",
+        help="reload the artifact and run it once on zero frames",
+    )
+    p_export.set_defaults(fn=cmd_export)
 
     p_info = sub.add_parser("info", help="runtime + model-asset inventory")
     p_info.set_defaults(fn=cmd_info)
