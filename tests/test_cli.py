@@ -102,6 +102,38 @@ def test_export_roundtrip(tmp_path, capsys):
     assert "verify: reloaded and ran" in err and "landmarks" in err
 
 
+def test_run_exported_deployment_loop(tmp_path):
+    """export -> run-exported on the fixture photo: the artifact + state
+    sidecar alone track a real face (no wrapper construction at run
+    time)."""
+    art = tmp_path / "face_step.stablehlo"
+    assert main(["export", str(art), "--height", "720", "--width", "1280"]) == 0
+    assert (tmp_path / "face_step.stablehlo.state.npz").exists()
+    out = tmp_path / "out.jsonl"
+    rc = main(
+        [
+            "run-exported",
+            str(art),
+            str(fixture_path("sad_linus.jpg")),
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(recs) == 1 and recs[0]["valid"] is True
+    assert np.asarray(recs[0]["landmarks"]).shape == (468, 3)
+
+
+def test_run_exported_shape_mismatch(tmp_path):
+    """A frame that doesn't match the exported signature fails with a
+    clear error, not a trace-level stack."""
+    art = tmp_path / "small.stablehlo"
+    assert main(["export", str(art), "--height", "64", "--width", "64"]) == 0
+    with pytest.raises(SystemExit, match="exported signature"):
+        main(["run-exported", str(art), str(fixture_path("sad_linus.jpg"))])
+
+
 def test_track_rejects_iris_off_face():
     with pytest.raises(SystemExit):
         main(["track", "x.mp4", "--pipeline", "hand", "--iris"])

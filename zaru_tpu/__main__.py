@@ -12,6 +12,8 @@ pipelines over offline inputs:
         [--steps N] [--out out.jsonl] [--landmarks]
     python -m zaru_tpu export OUT [--pipeline ...] [--batch N]
         [--height H] [--width W] [--verify]
+    python -m zaru_tpu run-exported ARTIFACT INPUT [--state S.npz]
+        [--out out.jsonl] [--max-frames N]
 
 ``track`` reads INPUT (video file, GIF/APNG animation, single image, or a
 directory of images), runs the chosen fused cascade one stream at a time,
@@ -22,7 +24,10 @@ thread pool, uploaded double-buffered (`pipeline.ingest.FrameUploader`),
 and stepped through the batch-gated cascade — one JSON line per step.
 ``export`` AOT-exports a fused pipeline step (weights baked in) as a
 portable StableHLO artifact via ``jax.export`` — the deployment analog
-of the reference compiling model bytes into its binary (build.rs:1-3).
+of the reference compiling model bytes into its binary (build.rs:1-3) —
+plus an init-state ``.npz`` sidecar; ``run-exported`` then drives that
+artifact over an input with NO model blobs and none of the
+model-building Python: the full deployment loop.
 ``info`` reports the runtime (JAX version, devices) and which model blobs
 resolve through the ``ZARU_TPU_MODELS`` search chain — the first thing to
 check when a wrapper raises ``ModelMissingError``.
@@ -277,7 +282,7 @@ def cmd_export(args) -> int:
     """
     import numpy as np
 
-    from .export import export_fn, load_exported
+    from .export import export_fn, load_exported, save_state
 
     tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
     if args.batch:
@@ -295,10 +300,13 @@ def cmd_export(args) -> int:
         kind = "single-stream step"
     out_path = Path(args.out)
     export_fn(fn, (state, frames), out_path)
+    state_path = Path(f"{out_path}.state.npz")
+    save_state(state, state_path)
     size = out_path.stat().st_size
     print(
         f"exported {args.pipeline} {kind} for {args.height}x{args.width} "
-        f"frames -> {out_path} ({size / 1e6:.2f} MB)",
+        f"frames -> {out_path} ({size / 1e6:.2f} MB) "
+        f"+ init state {state_path.name}",
         file=sys.stderr,
     )
     if args.verify:
@@ -306,6 +314,49 @@ def cmd_export(args) -> int:
         new_state, out = restored(state, frames)
         shapes = {k: list(np.asarray(v).shape) for k, v in out.items()}
         print(f"verify: reloaded and ran; outputs {shapes}", file=sys.stderr)
+    return 0
+
+
+def cmd_run_exported(args) -> int:
+    """Run a previously exported step artifact over an offline input.
+
+    The deployment endpoint: needs ONLY the artifact + its ``.state.npz``
+    sidecar — no model blobs, no wrapper construction, none of the
+    model-building Python runs. Frames must match the resolution the
+    artifact was exported for.
+    """
+    import numpy as np
+
+    from .export import load_exported, load_state
+
+    restored = load_exported(args.artifact)
+    state = load_state(args.state or f"{args.artifact}.state.npz")
+    sink = open(args.out, "w") if args.out else sys.stdout
+    n_valid = 0
+    idx = -1
+    try:
+        for idx, image in enumerate(_iter_frames(Path(args.input))):
+            if args.max_frames is not None and idx >= args.max_frames:
+                idx -= 1
+                break
+            frame = np.asarray(image.data)
+            try:
+                state, out = restored(state, frame)
+            except ValueError as e:
+                raise SystemExit(
+                    f"frame {idx} (shape {frame.shape}) does not match the "
+                    f"artifact's exported signature: {e}"
+                ) from e
+            rec = _to_jsonable(out)
+            rec["frame"] = idx
+            rec.pop("rois", None)
+            rec.pop("roi", None)
+            print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
+            n_valid += int(np.asarray(out["valid"]).sum())
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
+    print(f"{idx + 1} frames, {n_valid} valid detections", file=sys.stderr)
     return 0
 
 
@@ -403,6 +454,21 @@ def main(argv=None) -> int:
         help="reload the artifact and run it once on zero frames",
     )
     p_export.set_defaults(fn=cmd_export)
+
+    p_run = sub.add_parser(
+        "run-exported",
+        help="run an exported step artifact over an offline input "
+        "(no model blobs needed)",
+    )
+    p_run.add_argument("artifact", help="StableHLO artifact from `export`")
+    p_run.add_argument("input", help="video / GIF / image / image directory")
+    p_run.add_argument(
+        "--state",
+        help="init-state sidecar (default: ARTIFACT.state.npz)",
+    )
+    p_run.add_argument("--out", help="output JSONL path (default stdout)")
+    p_run.add_argument("--max-frames", type=int, default=None)
+    p_run.set_defaults(fn=cmd_run_exported)
 
     p_info = sub.add_parser("info", help="runtime + model-asset inventory")
     p_info.set_defaults(fn=cmd_info)
