@@ -125,6 +125,29 @@ def test_run_exported_deployment_loop(tmp_path):
     assert np.asarray(recs[0]["landmarks"]).shape == (468, 3)
 
 
+def test_export_multi_platform(tmp_path, capsys):
+    """--platforms cpu,tpu lowers one artifact for both backends; it
+    still reloads and runs on the CPU host."""
+    art = tmp_path / "xplat.stablehlo"
+    rc = main(
+        [
+            "export",
+            str(art),
+            "--height",
+            "64",
+            "--width",
+            "64",
+            "--platforms",
+            "cpu,tpu",
+            "--verify",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "for platforms cpu,tpu" in err
+    assert "verify: reloaded and ran" in err
+
+
 def test_run_exported_shape_mismatch(tmp_path):
     """A frame that doesn't match the exported signature fails with a
     clear error, not a trace-level stack."""

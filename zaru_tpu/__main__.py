@@ -298,14 +298,20 @@ def cmd_export(args) -> int:
         frames = np.zeros((args.height, args.width, 4), dtype=np.uint8)
         fn = lambda st, f: tracker.step(tracker.params, st, f)  # noqa: E731
         kind = "single-stream step"
+    platforms = (
+        tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+        if args.platforms
+        else None
+    )
     out_path = Path(args.out)
-    export_fn(fn, (state, frames), out_path)
+    export_fn(fn, (state, frames), out_path, platforms=platforms)
     state_path = Path(f"{out_path}.state.npz")
     save_state(state, state_path)
     size = out_path.stat().st_size
+    plat = f" for platforms {','.join(platforms)}" if platforms else ""
     print(
         f"exported {args.pipeline} {kind} for {args.height}x{args.width} "
-        f"frames -> {out_path} ({size / 1e6:.2f} MB) "
+        f"frames{plat} -> {out_path} ({size / 1e6:.2f} MB) "
         f"+ init state {state_path.name}",
         file=sys.stderr,
     )
@@ -452,6 +458,11 @@ def main(argv=None) -> int:
     p_export.add_argument(
         "--verify", action="store_true",
         help="reload the artifact and run it once on zero frames",
+    )
+    p_export.add_argument(
+        "--platforms",
+        help="comma-separated lowering targets (e.g. cpu,tpu) so one "
+        "artifact deploys across hosts; default: current backend only",
     )
     p_export.set_defaults(fn=cmd_export)
 

@@ -24,9 +24,18 @@ from jax import export as jax_export
 __all__ = ["export_fn", "load_exported", "save_state", "load_state"]
 
 
-def export_fn(fn, args, path: str | Path) -> None:
-    """Exports ``jax.jit(fn)`` specialized to ``args`` to ``path``."""
-    exp = jax_export.export(jax.jit(fn))(*args)
+def export_fn(fn, args, path: str | Path, *, platforms=None) -> None:
+    """Exports ``jax.jit(fn)`` specialized to ``args`` to ``path``.
+
+    ``platforms`` (e.g. ``("cpu", "tpu")``) lowers the artifact for each
+    listed backend so one file deploys across hosts; default is the
+    current backend only. Note the sampler's Pallas-vs-interpret choice
+    is made at TRACE time from the current backend (ops/rotated_fast.py),
+    so an artifact exported on a CPU host runs everywhere the plain-XLA
+    sampler; export on the TPU host (platforms including only "tpu") to
+    bake the Mosaic fast path in.
+    """
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(*args)
     Path(path).write_bytes(exp.serialize())
 
 
