@@ -33,7 +33,10 @@ def export_fn(fn, args, path: str | Path, *, platforms=None) -> None:
     is made at TRACE time from the current backend (ops/rotated_fast.py),
     so an artifact exported on a CPU host runs everywhere the plain-XLA
     sampler; export on the TPU host (platforms including only "tpu") to
-    bake the Mosaic fast path in.
+    bake the Mosaic fast path in — verified on device 2026-08-20: the
+    fused cascade step with its Pallas sampler serializes and
+    deserializes without safety-check overrides (tpu_custom_call is on
+    jax.export's stable-custom-call allowlist).
     """
     exp = jax_export.export(jax.jit(fn), platforms=platforms)(*args)
     Path(path).write_bytes(exp.serialize())
