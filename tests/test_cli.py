@@ -80,6 +80,37 @@ def test_serve_two_streams(tmp_path):
     assert all(min(r["confidence"]) > 0.9 for r in recs)
 
 
+def test_serve_sharded(tmp_path, capsys):
+    """`serve --shard` spreads streams over the 8 virtual devices
+    (ShardedTracker, collective-free) and keeps the same output
+    contract."""
+    out = tmp_path / "serve.jsonl"
+    rc = main(
+        [
+            "serve",
+            str(fixture_path("sad_linus_cropped.jpg")),
+            "--streams",
+            "8",
+            "--steps",
+            "2",
+            "--shard",
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    assert "sharding 8 streams over 8" in capsys.readouterr().err
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [r["step"] for r in recs] == [0, 1]
+    assert all(r["valid"] == [True] * 8 for r in recs)
+    assert all(min(r["confidence"]) > 0.9 for r in recs)
+
+
+def test_serve_shard_rejects_indivisible():
+    with pytest.raises(SystemExit, match="divide evenly"):
+        main(["serve", "x.jpg", "--streams", "3", "--shard"])
+
+
 def test_export_roundtrip(tmp_path, capsys):
     """`export --verify` writes a StableHLO artifact, reloads it, and
     runs the restored step — the deployment path end to end."""

@@ -9,7 +9,7 @@ pipelines over offline inputs:
     python -m zaru_tpu track INPUT [--pipeline face|hand|body] [--iris]
         [--out out.jsonl] [--annotate DIR] [--max-frames N] [--slots K]
     python -m zaru_tpu serve INPUT... --streams N [--pipeline ...]
-        [--steps N] [--out out.jsonl] [--landmarks]
+        [--steps N] [--out out.jsonl] [--landmarks] [--shard]
     python -m zaru_tpu export OUT [--pipeline ...] [--batch N]
         [--height H] [--width W] [--verify]
     python -m zaru_tpu run-exported ARTIFACT INPUT [--state S.npz]
@@ -21,7 +21,9 @@ and writes one JSON line per frame (landmarks in image coordinates).
 ``serve`` is the multi-stream serving loop: N streams fed round-robin
 from the INPUT sources (each looped when exhausted), decoded on a host
 thread pool, uploaded double-buffered (`pipeline.ingest.FrameUploader`),
-and stepped through the batch-gated cascade — one JSON line per step.
+and stepped through the batch-gated cascade — one JSON line per step;
+``--shard`` spreads the streams over every available device
+(``parallel.ShardedTracker``, collective-free multi-chip serving).
 ``export`` AOT-exports a fused pipeline step (weights baked in) as a
 portable StableHLO artifact via ``jax.export`` — the deployment analog
 of the reference compiling model bytes into its binary (build.rs:1-3) —
@@ -198,6 +200,25 @@ def cmd_serve(args) -> int:
     from .pipeline.ingest import FrameUploader
 
     tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
+    if args.shard:
+        import jax
+
+        from .parallel import ShardedTracker, stream_mesh
+
+        mesh = stream_mesh()
+        if args.streams % mesh.size:
+            raise SystemExit(
+                f"--streams {args.streams} must divide evenly over the "
+                f"{mesh.size} available devices"
+            )
+        sharded = ShardedTracker(tracker, mesh)
+        print(
+            f"sharding {args.streams} streams over {mesh.size} "
+            f"{jax.devices()[0].platform} devices",
+            file=sys.stderr,
+        )
+    else:
+        sharded = None
     sources = [
         _looping_frames(Path(args.inputs[i % len(args.inputs)]))
         for i in range(args.streams)
@@ -226,7 +247,10 @@ def cmd_serve(args) -> int:
                 "serving batches require one resolution"
             )
     uploader = FrameUploader(batch=args.streams, shape=shape)
-    state = tracker.init_state(batch=args.streams)
+    if sharded is not None:
+        state = sharded.init_state(batch=args.streams)
+    else:
+        state = tracker.init_state(batch=args.streams)
     sink = open(args.out, "w") if args.out else sys.stdout
 
     report_keys = ("confidence", "presence", "pose_flag")
@@ -239,7 +263,12 @@ def cmd_serve(args) -> int:
             frames_dev = uploader.flush()
             # Decode the NEXT step's frames while the device runs this one.
             decode_futs = submit_decodes()
-            state, out = tracker.run_frames_gated(state, frames_dev)
+            if sharded is not None:
+                state, out = sharded.step_gated(
+                    state, sharded.shard_frames(frames_dev)
+                )
+            else:
+                state, out = tracker.run_frames_gated(state, frames_dev)
             rec = {"step": step, "valid": np.asarray(out["valid"]).tolist()}
             for key in report_keys:
                 if key in out:
@@ -436,6 +465,11 @@ def main(argv=None) -> int:
         help="include landmark arrays in the JSONL (large)",
     )
     p_serve.add_argument("--report-every", type=int, default=10)
+    p_serve.add_argument(
+        "--shard", action="store_true",
+        help="shard the streams over all available devices "
+        "(parallel.ShardedTracker; streams must divide the device count)",
+    )
     p_serve.set_defaults(fn=cmd_serve)
 
     p_export = sub.add_parser(
