@@ -62,3 +62,39 @@ class TestExport:
         np.testing.assert_allclose(
             np.asarray(out["landmarks"]), np.asarray(ref_out["landmarks"]), atol=1e-3
         )
+
+    def test_state_sidecar_roundtrip(self, tmp_path):
+        """save_state/load_state preserve the exact pytree structure —
+        including EMPTY subtrees (a smoother-less filter state), which an
+        exported step's treedef check requires."""
+        from zaru_tpu.export import load_state, save_state
+
+        state = {
+            "roi": jnp.arange(5, dtype=jnp.float32),
+            "tracking": jnp.asarray(False),
+            "filter": {},
+        }
+        path = tmp_path / "state.npz"
+        save_state(state, path)
+        back = load_state(path)
+        assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+            state
+        )
+        np.testing.assert_array_equal(back["roi"], np.arange(5, dtype=np.float32))
+        assert back["tracking"].item() is False and back["filter"] == {}
+
+    def test_state_sidecar_nested(self, tmp_path):
+        """A filter-bearing nested state round-trips value-exactly."""
+        from zaru_tpu.export import load_state, save_state
+        from zaru_tpu.pipeline import FaceTracker
+
+        tracker = FaceTracker()
+        state = tracker.init_state(batch=2)
+        path = tmp_path / "state.npz"
+        save_state(state, path)
+        back = load_state(path)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            state,
+            back,
+        )
