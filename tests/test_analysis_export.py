@@ -98,3 +98,106 @@ class TestExport:
             state,
             back,
         )
+
+    def test_state_sidecar_is_pickle_free(self, tmp_path):
+        """The sidecar must load under allow_pickle=False — shipping one
+        between hosts can never execute code (ADVICE r4 medium)."""
+        from zaru_tpu.export import save_state
+
+        state = {"a": jnp.ones((2, 3)), "b": (jnp.zeros(1), None), "c": {}}
+        path = tmp_path / "state.npz"
+        save_state(state, path)
+        with np.load(path, allow_pickle=False) as data:  # must not raise
+            assert "__tree__" in data.files
+            assert "__treedef__" not in data.files
+            for name in data.files:
+                assert data[name].dtype != object
+
+    def test_state_sidecar_mixed_containers(self, tmp_path):
+        """tuples/lists/None round-trip with exact container types."""
+        from zaru_tpu.export import load_state, save_state
+
+        state = {
+            "t": (jnp.arange(3), [jnp.zeros(2), None]),
+            "empty": {},
+            "n": None,
+        }
+        path = tmp_path / "state.npz"
+        save_state(state, path)
+        back = load_state(path)
+        assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+            state
+        )
+        assert isinstance(back["t"], tuple) and isinstance(back["t"][1], list)
+        assert back["t"][1][1] is None and back["n"] is None
+
+    def test_legacy_pickle_sidecar_rejected(self, tmp_path):
+        """The round-4 pickle-based layout is refused with an actionable
+        message, and a sidecar carrying pickled object arrays is refused
+        by numpy itself (allow_pickle=False)."""
+        import pickle
+
+        from zaru_tpu.export import load_state
+
+        legacy = tmp_path / "legacy.npz"
+        np.savez(
+            legacy,
+            __treedef__=np.frombuffer(pickle.dumps({"x": 1}), np.uint8),
+            leaf_0=np.zeros(2),
+        )
+        with pytest.raises(ValueError, match="legacy pickle-based"):
+            load_state(legacy)
+
+        tampered = tmp_path / "tampered.npz"
+        np.savez(
+            tampered,
+            __format__=np.int64(2),
+            __tree__=np.str_('{"kind":"leaf","i":0}'),
+            leaf_0=np.array({"attack": "payload"}, dtype=object),
+        )
+        with pytest.raises(ValueError):
+            load_state(tampered)
+
+    def test_wrong_format_version_rejected(self, tmp_path):
+        from zaru_tpu.export import load_state
+
+        path = tmp_path / "future.npz"
+        np.savez(
+            path,
+            __format__=np.int64(99),
+            __tree__=np.str_('{"kind":"leaf","i":0}'),
+            leaf_0=np.zeros(1),
+        )
+        with pytest.raises(ValueError, match="unsupported sidecar format"):
+            load_state(path)
+
+    def test_non_sidecar_npz_rejected(self, tmp_path):
+        from zaru_tpu.export import load_state
+
+        path = tmp_path / "random.npz"
+        np.savez(path, x=np.zeros(3))
+        with pytest.raises(ValueError, match="not a zaru_tpu state sidecar"):
+            load_state(path)
+
+    def test_manifest_roundtrip(self, tmp_path):
+        from zaru_tpu.export import read_manifest, write_manifest
+
+        art = tmp_path / "step.stablehlo"
+        art.write_bytes(b"x")
+        assert read_manifest(art) is None
+        write_manifest(
+            art,
+            pipeline="face",
+            kind="single-stream step",
+            batch=0,
+            frame_shape=(64, 64, 4),
+            frame_dtype="uint8",
+            platforms=("cpu", "tpu"),
+            state_leaves=7,
+        )
+        meta = read_manifest(art)
+        assert meta["pipeline"] == "face"
+        assert meta["frame_shape"] == [64, 64, 4]
+        assert meta["platforms"] == ["cpu", "tpu"]
+        assert meta["framework"] == "zaru_tpu"
+        assert meta["state_leaves"] == 7 and meta["jax_version"]
