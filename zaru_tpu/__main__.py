@@ -191,13 +191,31 @@ def _looping_frames(path: Path):
 
 
 def cmd_serve(args) -> int:
-    import concurrent.futures as cf
-    import os
+    """Multi-stream serving loop (see module docstring).
+
+    Production policies (VERDICT r4 weak #5; the reference's analog is a
+    loop that survives a flaky camera forever, webcam.rs:291-313):
+
+    - **join/leave** (``--no-loop``): sources are finite; a stream whose
+      source ends frees its slot and the next pending input joins into
+      it, with that slot's tracker state reset so the new stream
+      re-detects. Looped mode (default) keeps the round-4 contract.
+    - **drops/backpressure**: one in-flight decode per stream; a decode
+      that misses the step deadline (``--decode-wait`` ms) re-serves the
+      previous frame and counts a drop — the device loop never stalls on
+      a slow source.
+    - **stats**: a periodic line (fps, p50 step latency, drops, active
+      slots) every ``--report-every`` steps, and a final summary with
+      p50/p95, drops, joins, leaves.
+    - **soak** (``--soak SECONDS``): run for a wall-clock duration
+      instead of a step count.
+    """
     import time
 
     import numpy as np
 
     from .pipeline.ingest import FrameUploader
+    from .serve import ServeStats, StreamSet, reset_state_slots
 
     tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
     if args.shard:
@@ -219,83 +237,112 @@ def cmd_serve(args) -> int:
         )
     else:
         sharded = None
-    sources = [
-        _looping_frames(Path(args.inputs[i % len(args.inputs)]))
-        for i in range(args.streams)
-    ]
-    pool = cf.ThreadPoolExecutor(
-        max_workers=max(1, min(args.streams, os.cpu_count() or 1))
-    )
 
-    # One flat future per stream — NEVER a nested pool.map inside a
-    # submitted function: with few workers (os.cpu_count() can be 1 in
-    # containers) the outer task would wait forever on inner tasks that
-    # no free worker can run. cv2/PIL release the GIL during decode, so
-    # streams decode in parallel and overlap device compute either way.
-    def submit_decodes():
-        return [
-            pool.submit(lambda s=s: np.asarray(next(s).to_numpy()))
-            for s in sources
-        ]
-
-    first = [f.result() for f in submit_decodes()]
-    shape = first[0].shape
-    for i, f in enumerate(first):
-        if f.shape != shape:
-            raise SystemExit(
-                f"stream {i} shape {f.shape} != stream 0 shape {shape}; "
-                "serving batches require one resolution"
+    def make_factory(path: Path):
+        def factory():
+            frames = (
+                _iter_frames(path) if args.no_loop else _looping_frames(path)
             )
-    uploader = FrameUploader(batch=args.streams, shape=shape)
+            for image in frames:
+                yield np.asarray(image.to_numpy())
+
+        factory.name = str(path)
+        return factory
+
+    if args.no_loop:
+        # Finite sources: the first --streams inputs fill the slots, the
+        # rest queue up and join as slots free (leave -> join).
+        initial = [
+            make_factory(Path(p)) for p in args.inputs[: args.streams]
+        ]
+        initial += [None] * (args.streams - len(initial))
+        pending = [make_factory(Path(p)) for p in args.inputs[args.streams:]]
+    else:
+        initial = [
+            make_factory(Path(args.inputs[i % len(args.inputs)]))
+            for i in range(args.streams)
+        ]
+        pending = []
+
+    streams = StreamSet(initial, pending)
+    try:
+        streams.prime()
+    except RuntimeError as e:
+        raise SystemExit(str(e))
+    shape = streams.frames[0].shape
+    uploader = FrameUploader(
+        batch=args.streams,
+        shape=shape,
+        device=sharded.frame_sharding if sharded is not None else None,
+    )
+    fresh_state = tracker.init_state(batch=args.streams)
     if sharded is not None:
         state = sharded.init_state(batch=args.streams)
     else:
-        state = tracker.init_state(batch=args.streams)
+        state = fresh_state
     sink = open(args.out, "w") if args.out else sys.stdout
 
     report_keys = ("confidence", "presence", "pose_flag")
-    t0 = time.perf_counter()
-    done_frames = 0
+    stats = ServeStats(streams=args.streams)
+    soak_deadline = (
+        time.perf_counter() + args.soak if args.soak else None
+    )
+    step = 0
+    # The primed frames are step 0's batch; each step ends by gathering
+    # the NEXT step's frames, whose decodes ran while the device stepped.
+    frames = list(streams.frames)
+    events = []
     try:
-        for step in range(args.steps):
-            for slot, frame in enumerate(first):
+        while True:
+            t_step = time.perf_counter()
+            for ev in events:
+                src = f" ({ev.source})" if ev.source else ""
+                print(
+                    f"stream slot {ev.slot}: {ev.kind}{src}", file=sys.stderr
+                )
+            joined = [ev.slot for ev in events if ev.kind == "join"]
+            if joined:
+                # A fresh occupant must re-detect, not inherit the
+                # previous stream's ROI/filter state.
+                state = reset_state_slots(state, fresh_state, joined)
+                if sharded is not None:
+                    state = sharded.shard_state(state)
+            for slot, frame in enumerate(frames):
                 uploader.stage(slot, frame)
             frames_dev = uploader.flush()
-            # Decode the NEXT step's frames while the device runs this one.
-            decode_futs = submit_decodes()
             if sharded is not None:
-                state, out = sharded.step_gated(
-                    state, sharded.shard_frames(frames_dev)
-                )
+                # frames_dev already carries the stream sharding (the
+                # uploader stages straight into it — no second transfer).
+                state, out = sharded.step_gated(state, frames_dev)
             else:
                 state, out = tracker.run_frames_gated(state, frames_dev)
             rec = {"step": step, "valid": np.asarray(out["valid"]).tolist()}
+            if streams.n_active != args.streams or streams.joins:
+                rec["active"] = list(streams.active)
             for key in report_keys:
                 if key in out:
                     rec[key] = np.round(np.asarray(out[key]), 4).tolist()
             if args.landmarks:
                 rec["landmarks"] = np.asarray(out["landmarks"]).tolist()
             print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
-            done_frames += args.streams
-            if (step + 1) % args.report_every == 0:
-                dt = time.perf_counter() - t0
-                print(
-                    f"step {step + 1}/{args.steps}: "
-                    f"{done_frames / dt:.6g} frames/s e2e "
-                    "(incl. host decode + upload)",
-                    file=sys.stderr,
-                )
-            first = [f.result() for f in decode_futs]
+            stats.record_step(time.perf_counter() - t_step, streams.n_active)
+            step += 1
+            if step % args.report_every == 0:
+                print(stats.report_line(streams), file=sys.stderr)
+            if soak_deadline is not None:
+                if time.perf_counter() >= soak_deadline:
+                    break
+            elif step >= args.steps:
+                break
+            frames, events = streams.gather(wait=args.decode_wait / 1e3)
+            if args.no_loop and streams.n_active == 0:
+                print("all sources exhausted", file=sys.stderr)
+                break
     finally:
-        pool.shutdown(wait=False)
+        streams.close()
         if sink is not sys.stdout:
             sink.close()
-    dt = time.perf_counter() - t0
-    print(
-        f"served {done_frames} frames over {args.streams} streams in "
-        f"{dt:.2f}s = {done_frames / dt:.6g} frames/s end-to-end",
-        file=sys.stderr,
-    )
+    print(stats.summary(streams), file=sys.stderr)
     return 0
 
 
@@ -311,7 +358,9 @@ def cmd_export(args) -> int:
     """
     import numpy as np
 
-    from .export import export_fn, load_exported, save_state
+    import jax
+
+    from .export import export_fn, load_exported, save_state, write_manifest
 
     tracker = _build_tracker(args.pipeline, iris=args.iris, slots=args.slots)
     if args.batch:
@@ -336,12 +385,22 @@ def cmd_export(args) -> int:
     export_fn(fn, (state, frames), out_path, platforms=platforms)
     state_path = Path(f"{out_path}.state.npz")
     save_state(state, state_path)
+    manifest = write_manifest(
+        out_path,
+        pipeline=args.pipeline,
+        kind=kind,
+        batch=args.batch,
+        frame_shape=frames.shape,
+        frame_dtype=str(frames.dtype),
+        platforms=platforms,
+        state_leaves=len(jax.tree_util.tree_leaves(state)),
+    )
     size = out_path.stat().st_size
     plat = f" for platforms {','.join(platforms)}" if platforms else ""
     print(
         f"exported {args.pipeline} {kind} for {args.height}x{args.width} "
         f"frames{plat} -> {out_path} ({size / 1e6:.2f} MB) "
-        f"+ init state {state_path.name}",
+        f"+ init state {state_path.name} + {manifest.name}",
         file=sys.stderr,
     )
     if args.verify:
@@ -357,41 +416,138 @@ def cmd_run_exported(args) -> int:
 
     The deployment endpoint: needs ONLY the artifact + its ``.state.npz``
     sidecar — no model blobs, no wrapper construction, none of the
-    model-building Python runs. Frames must match the resolution the
-    artifact was exported for.
+    model-building Python runs. The artifact's own input signature (and
+    its ``.manifest.json``, when present) is validated BEFORE the frame
+    loop: wrong-resolution inputs and stale/mismatched state sidecars
+    fail with one actionable line, never a trace-level stack. Batch
+    artifacts (``export --batch N``) are driven too — frames are
+    gathered N per step (the last step pads by repeating the final
+    frame, reported per-record via ``"padded"``).
     """
     import numpy as np
 
-    from .export import load_exported, load_state
+    import jax
 
-    restored = load_exported(args.artifact)
+    from .export import deserialize_exported, load_state, read_manifest
+
+    exp = deserialize_exported(args.artifact)
+    restored = exp.call
     state = load_state(args.state or f"{args.artifact}.state.npz")
+
+    # The exported args are (state, frame): the frame is the LAST leaf of
+    # the flattened signature, everything before it is the state pytree.
+    frame_aval = exp.in_avals[-1]
+    state_avals = exp.in_avals[:-1]
+    if len(frame_aval.shape) == 4:
+        batch = int(frame_aval.shape[0])
+        frame_hw = tuple(int(d) for d in frame_aval.shape[1:])
+    elif len(frame_aval.shape) == 3:
+        batch = 0
+        frame_hw = tuple(int(d) for d in frame_aval.shape)
+    else:
+        raise SystemExit(
+            f"{args.artifact}: last input has shape {frame_aval.shape}; "
+            "expected a [H,W,4] or [B,H,W,4] frame — not a zaru_tpu step "
+            "artifact?"
+        )
+
+    state_leaves = jax.tree_util.tree_leaves(state)
+    if len(state_leaves) != len(state_avals):
+        raise SystemExit(
+            f"state sidecar has {len(state_leaves)} arrays but the artifact "
+            f"was exported with {len(state_avals)}; the --state file does "
+            "not belong to this artifact (re-export, or pass the matching "
+            ".state.npz)"
+        )
+    for i, (leaf, aval) in enumerate(zip(state_leaves, state_avals)):
+        got = (tuple(np.shape(leaf)), np.asarray(leaf).dtype.name)
+        want = (tuple(int(d) for d in aval.shape), aval.dtype.name)
+        if got != want:
+            raise SystemExit(
+                f"state sidecar leaf {i} is {got[1]}{list(got[0])} but the "
+                f"artifact expects {want[1]}{list(want[0])}; stale or "
+                "mismatched --state sidecar"
+            )
+
+    manifest = read_manifest(args.artifact)
+    if manifest is not None:
+        want_shape = ([batch] if batch else []) + list(frame_hw)
+        if manifest.get("frame_shape") != want_shape:
+            raise SystemExit(
+                f"manifest {manifest.get('frame_shape')} disagrees with the "
+                f"artifact signature {want_shape}; the .manifest.json does "
+                "not belong to this artifact"
+            )
+        print(
+            f"artifact: {manifest.get('pipeline')} {manifest.get('kind')} "
+            f"(zaru_tpu {manifest.get('framework_version')}, "
+            f"jax {manifest.get('jax_version')}, "
+            f"platforms {manifest.get('platforms') or 'default'})",
+            file=sys.stderr,
+        )
+
     sink = open(args.out, "w") if args.out else sys.stdout
     n_valid = 0
-    idx = -1
+    n_frames = 0
+    step = 0
+
+    def run_step(frame_or_batch, rec_extra):
+        nonlocal state, n_valid, step
+        try:
+            state, out = restored(state, frame_or_batch)
+        except (ValueError, TypeError) as e:
+            raise SystemExit(
+                f"step {step} (frames {frame_or_batch.shape}) does not "
+                f"match the artifact's exported signature: {e}"
+            ) from e
+        rec = _to_jsonable(out)
+        rec.update(rec_extra)
+        rec.pop("rois", None)
+        rec.pop("roi", None)
+        print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
+        n_valid += int(np.asarray(out["valid"]).sum())
+        step += 1
+
     try:
-        for idx, image in enumerate(_iter_frames(Path(args.input))):
-            if args.max_frames is not None and idx >= args.max_frames:
-                idx -= 1
-                break
-            frame = np.asarray(image.data)
-            try:
-                state, out = restored(state, frame)
-            except ValueError as e:
-                raise SystemExit(
-                    f"frame {idx} (shape {frame.shape}) does not match the "
-                    f"artifact's exported signature: {e}"
-                ) from e
-            rec = _to_jsonable(out)
-            rec["frame"] = idx
-            rec.pop("rois", None)
-            rec.pop("roi", None)
-            print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
-            n_valid += int(np.asarray(out["valid"]).sum())
+        if batch:
+            pending: list[np.ndarray] = []
+            for idx, image in enumerate(_iter_frames(Path(args.input))):
+                if args.max_frames is not None and idx >= args.max_frames:
+                    break
+                frame = np.asarray(image.data)
+                if frame.shape != frame_hw:
+                    raise SystemExit(
+                        f"frame {idx} has shape {frame.shape}; the artifact "
+                        f"expects {frame_hw} frames"
+                    )
+                pending.append(frame)
+                n_frames += 1
+                if len(pending) == batch:
+                    run_step(np.stack(pending), {"frames": n_frames - batch})
+                    pending = []
+            if pending:
+                real = len(pending)
+                pending += [pending[-1]] * (batch - real)
+                run_step(
+                    np.stack(pending),
+                    {"frames": n_frames - real, "padded": batch - real},
+                )
+        else:
+            for idx, image in enumerate(_iter_frames(Path(args.input))):
+                if args.max_frames is not None and idx >= args.max_frames:
+                    break
+                frame = np.asarray(image.data)
+                if frame.shape != frame_hw:
+                    raise SystemExit(
+                        f"frame {idx} has shape {frame.shape}; the artifact "
+                        f"expects {frame_hw} frames (exported signature)"
+                    )
+                run_step(frame, {"frame": idx})
+                n_frames += 1
     finally:
         if sink is not sys.stdout:
             sink.close()
-    print(f"{idx + 1} frames, {n_valid} valid detections", file=sys.stderr)
+    print(f"{n_frames} frames, {n_valid} valid detections", file=sys.stderr)
     return 0
 
 
@@ -469,6 +625,21 @@ def main(argv=None) -> int:
         "--shard", action="store_true",
         help="shard the streams over all available devices "
         "(parallel.ShardedTracker; streams must divide the device count)",
+    )
+    p_serve.add_argument(
+        "--no-loop", action="store_true",
+        help="sources are finite: a stream whose source ends frees its "
+        "slot and the next pending input joins (slot state reset); "
+        "default loops every source forever",
+    )
+    p_serve.add_argument(
+        "--soak", type=float, default=0.0, metavar="SECONDS",
+        help="run for a wall-clock duration instead of --steps",
+    )
+    p_serve.add_argument(
+        "--decode-wait", type=float, default=1000.0, metavar="MS",
+        help="per-step decode deadline; a stream missing it re-serves its "
+        "previous frame and counts a drop (default 1000 ms)",
     )
     p_serve.set_defaults(fn=cmd_serve)
 

@@ -84,12 +84,27 @@ class ShardedTracker:
         # State/output pytrees all carry the stream axis first.
         return NamedSharding(self.mesh, P(self.axis))
 
+    def shard_state(self, state):
+        """Re-places a (possibly host-side-edited) state pytree into the
+        stream-sharded layout — e.g. after ``serve.reset_state_slots``
+        surgery on a join."""
+        return jax.device_put(state, self._shard_tree_spec())
+
     def init_state(self, batch: int):
         assert batch % self.mesh.size == 0, (
             f"stream count {batch} must divide evenly over {self.mesh.size} devices"
         )
         state = self.tracker.init_state(batch=batch)
         return jax.device_put(state, self._shard_tree_spec())
+
+    @property
+    def frame_sharding(self):
+        """The NamedSharding for a ``[B, H, W, 4]`` frame batch (streams
+        sharded over the mesh). Pass it as ``device=`` to an uploader
+        (e.g. ``pipeline.ingest.FrameUploader``) so staged frames land
+        directly in the sharded layout — ``step_gated`` then consumes the
+        upload buffer without a second device_put/reshard (ADVICE r4)."""
+        return self._stream0
 
     def shard_frames(self, frames):
         return jax.device_put(jnp.asarray(frames), self._stream0)
