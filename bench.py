@@ -100,12 +100,16 @@ def quiet_fps(batch: int) -> float:
     # 14,750 at 384, and 11,072 at 128 (benchsuite cascade/batch-sweep,
     # 2026-08-19). Early-exit sits just under the quiet rate so a
     # healthy run records the real headline; contended runs fall
-    # through to the plateau rule instead of stopping early.
+    # through to the plateau rule instead of stopping early. Batch 1-2:
+    # the interactive frontier (round 5, benchsuite latency) measured
+    # ~275 fps at batch 1 tunnel-inclusive; quiet sits just under.
     if batch >= 450:
         return 14900.0
     if batch >= 300:
         return 14500.0
-    return 10800.0 if batch >= 64 else 1050.0
+    if batch >= 64:
+        return 10800.0
+    return 1050.0 if batch >= 8 else 260.0
 
 
 def log(*a):
@@ -407,21 +411,27 @@ def print_final():
                         " single-step p50)"
                     )
             parts.append(s)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "1080p frames/sec/chip, detect/9-frames + landmark+smooth/frame "
-                    "cascade (" + "; ".join(parts) + ")"
-                ),
-                "value": round(fps, 1),
-                "value_median": round(fps_median, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
+    record = {
+        "metric": (
+            "1080p frames/sec/chip, detect/9-frames + landmark+smooth/frame "
+            "cascade (" + "; ".join(parts) + ")"
         ),
-        flush=True,
-    )
+        "value": round(fps, 1),
+        "value_median": round(fps_median, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    # On-device p50 estimates per measured batch (scan-amortized, trivial
+    # tunnel roundtrip subtracted) — batch 1 is the interactive operating
+    # point the reference's webcam loop lives at.
+    p50_dev = {
+        str(b): round(r["p50_device_ms"], 2)
+        for b, r in _results.items()
+        if r.get("p50_device_ms") is not None
+    }
+    if p50_dev:
+        record["p50_device_ms"] = p50_dev
+    print(json.dumps(record), flush=True)
 
 
 def main() -> None:
@@ -436,8 +446,8 @@ def main() -> None:
         # fresh remote compile (70-900 s observed): ChildRun.wait allows
         # budget+240 grace, and killing mid-compile writes NO cache entry
         # (the 30 s budget this once had silently left batch-8 cold).
-        for batch in (BATCH_LARGE, BATCH_SMALL):
-            run = ChildRun(batch, 700.0, measure_p50=(batch == BATCH_SMALL))
+        for batch in (BATCH_LARGE, BATCH_SMALL, 1):
+            run = ChildRun(batch, 700.0, measure_p50=(batch <= BATCH_SMALL))
             run.wait()
             log(f"prewarm B={batch}: best {run.best_fps:.0f} fps")
         return
@@ -485,6 +495,22 @@ def main() -> None:
         run = ChildRun(BATCH_SMALL, remaining - 30, measure_p50=True)
         run.wait(max_wait=max_wait, silent_kill=600.0)
         _results[BATCH_SMALL] = {
+            "fps": run.best_fps,
+            "windows": list(run.windows),
+            "p50_ms": run.p50_ms,
+            "p50_device_ms": run.p50_device_ms,
+        }
+
+    # Batch 1: the interactive operating point (BASELINE "p50 per-frame
+    # latency"; VERDICT r4 #1 — the reference is a batch-1 webcam app).
+    # Runs only with comfortable margin left so it can never starve the
+    # required batch-8/headline contents; its scan program is prewarmed
+    # alongside the others.
+    remaining = deadline - time.monotonic()
+    if remaining > 150 and _results.get(BATCH_SMALL, {}).get("fps"):
+        run = ChildRun(1, min(remaining - 60, 420.0), measure_p50=True)
+        run.wait(silent_kill=300.0)
+        _results[1] = {
             "fps": run.best_fps,
             "windows": list(run.windows),
             "p50_ms": run.p50_ms,

@@ -149,6 +149,29 @@ def test_final_json_contains_both_configs_and_p50(capsys):
     assert "84.20ms" in rec["metric"]
 
 
+def test_final_json_batch1_p50_device_dict(capsys):
+    """Round 5: the artifact carries per-batch on-device p50 estimates
+    including batch 1 — the reference's interactive operating point
+    (VERDICT r4 #1)."""
+    bench._printed = False
+    bench._results.clear()
+    bench._results[512] = {"fps": 15200.0, "windows": [15200.0, 15100.0]}
+    bench._results[8] = {
+        "fps": 1011.0, "p50_ms": 116.5, "p50_device_ms": 84.2,
+        "windows": [1011.0],
+    }
+    bench._results[1] = {
+        "fps": 270.0, "p50_ms": 36.0, "p50_device_ms": 4.1,
+        "windows": [270.0],
+    }
+    bench.print_final()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 15200.0
+    assert rec["p50_device_ms"] == {"8": 84.2, "1": 4.1}
+    assert "batch 1: 270 fps" in rec["metric"]
+    assert "p50 36.00ms/step" in rec["metric"]
+
+
 def test_final_json_median_defaults_to_best_without_windows(capsys):
     # Legacy / degraded runs (no PARTIAL windows recorded) still print a
     # well-formed line with value_median falling back to the best.

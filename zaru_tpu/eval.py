@@ -1,0 +1,383 @@
+"""Quantified end-to-end accuracy eval: the equivariance transform sweep.
+
+BASELINE.json's north star asks for landmarks "within 1 px of the
+reference"; with no rustc on this box the Rust binary can't run, so parity
+is triangulated (bitwise sampling oracle, torch-lowered model oracles,
+recorded goldens, fixture invariants). This module converts that
+triangulation into a MEASURED px budget (VERDICT r4 weak #2): apply known
+rotations / scales / translations to the fixture photos — the same idea as
+the reference's own synthetic ±10° rotated-view tests
+(mediapipe.rs:554-625) — run the full cascade on the original and on each
+transformed frame, map the transformed frame's landmarks back through the
+exact inverse transform, and report mean / p95 / max px deviation.
+
+What the number means: the warp itself is the framework's own
+nearest-neighbor view sampler (bit-parity-tested against the reference's
+2×2 vectors), and the inverse map is exact rotated-rect geometry
+(rect.rs:414-423 semantics), so any deviation beyond the ~0.5 px sampling
+quantization is contributed by the pipeline under test — detection seeding,
+ROI normalization, CNN sensitivity, decode and unmap math. A model that
+holds ~1 px across the sweep is measurably transform-consistent end to end.
+
+Run it::
+
+    python -m zaru_tpu.eval [--models face_mesh,iris,...] [--json OUT]
+
+and see ``tests/test_accuracy_eval.py`` for the pinned regression budgets;
+the sweep's numbers are recorded in PARITY.md.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import rrect_transform_out
+from .ops.sampling import sample_view_rgba
+
+__all__ = [
+    "DEFAULT_TRANSFORMS",
+    "Transform",
+    "transform_rrect",
+    "warp_image",
+    "map_points_back",
+    "runner",
+    "RUNNERS",
+    "evaluate_runner",
+    "main",
+]
+
+
+@dataclass(frozen=True)
+class Transform:
+    """A known affine view transform: rotate by ``angle_deg`` about the
+    (shifted) image center, zoom by ``scale``, translate by ``shift`` px."""
+
+    name: str
+    angle_deg: float = 0.0
+    scale: float = 1.0
+    shift: tuple[float, float] = (0.0, 0.0)
+
+
+# The sweep: the reference's ±10° synthetic views, stronger rotations, both
+# zoom directions, translation, and a combined transform. Kept modest
+# enough that the fixture faces stay in frame.
+DEFAULT_TRANSFORMS = (
+    Transform("identity"),
+    Transform("rot+10", angle_deg=10.0),
+    Transform("rot-10", angle_deg=-10.0),
+    Transform("rot+25", angle_deg=25.0),
+    Transform("scale0.85", scale=0.85),
+    Transform("scale1.15", scale=1.15),
+    Transform("shift+24+16", shift=(24.0, 16.0)),
+    Transform("rot-12_s0.9_shift", angle_deg=-12.0, scale=0.9,
+              shift=(-18.0, 10.0)),
+)
+
+
+def transform_rrect(height: int, width: int, t: Transform) -> np.ndarray:
+    """The rotated view rect ``[cx, cy, w, h, θ]`` (root coords) whose
+    materialization at (width, height) realizes ``t``."""
+    return np.array(
+        [
+            width / 2.0 + t.shift[0],
+            height / 2.0 + t.shift[1],
+            width / t.scale,
+            height / t.scale,
+            np.deg2rad(t.angle_deg),
+        ],
+        np.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _warp(image_u8, rrect, out_h, out_w):
+    return sample_view_rgba(image_u8, rrect, out_w, out_h)
+
+
+def warp_image(image_u8: np.ndarray, rrect: np.ndarray) -> np.ndarray:
+    """Materializes the view ``rrect`` of ``image_u8 [H,W,4]`` at the
+    source resolution — the framework's own parity-tested nearest-neighbor
+    sampler, so the warp is exactly the reference's view semantics."""
+    h, w = image_u8.shape[:2]
+    return np.asarray(_warp(jnp.asarray(image_u8), jnp.asarray(rrect), h, w))
+
+
+def map_points_back(pts_xy: np.ndarray, rrect: np.ndarray,
+                    out_hw: tuple[int, int]) -> np.ndarray:
+    """Maps landmark xy found on the warped frame back to source coords
+    through the exact inverse of the warp's continuous map."""
+    out_h, out_w = out_hw
+    ratio = np.array([rrect[2] / out_w, rrect[3] / out_h], np.float32)
+    return np.asarray(
+        rrect_transform_out(
+            jnp.asarray(rrect), jnp.asarray(pts_xy, dtype=jnp.float32) * ratio
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-model end-to-end runners: frame [H,W,4]u8 -> (points [N,2], valid).
+# --------------------------------------------------------------------------
+
+RUNNERS: dict[str, type] = {}
+
+
+def runner(name):
+    def deco(cls):
+        cls.name = name
+        RUNNERS[name] = cls
+        return cls
+
+    return deco
+
+
+class _FusedFaceRunner:
+    """The fused FaceTracker cascade (detect → rotated-ROI crop → landmark
+    → unmap), smoothing off so each frame is independent; the step runs
+    ``settle`` times so the ROI converges like a steady tracking stream."""
+
+    landmarker = None
+    iris = False
+    settle = 3
+
+    def __init__(self):
+        from .pipeline import FaceTracker
+
+        kwargs = {"smooth": None, "iris": self.iris}
+        if self.landmarker is not None:
+            kwargs["landmarker"] = self.landmarker()
+        self.tracker = FaceTracker(**kwargs)
+
+    def points(self, out) -> np.ndarray:
+        return np.asarray(out["landmarks"])[:, :2]
+
+    def __call__(self, frame: np.ndarray):
+        state = self.tracker.init_state()
+        frame = jnp.asarray(frame)
+        for _ in range(self.settle):
+            state, out = self.tracker.run_frame(state, frame)
+        return self.points(out), bool(np.asarray(out["valid"]))
+
+
+@runner("face_mesh")
+class FaceMeshRunner(_FusedFaceRunner):
+    """FaceMeshV1, 468 pts (mediapipe.rs:41-72)."""
+
+
+@runner("face_mesh_v2")
+class FaceMeshV2Runner(_FusedFaceRunner):
+    """FaceMeshV2, 478 pts (mediapipe.rs:81-115)."""
+
+    @staticmethod
+    def landmarker():
+        from .face.landmark.mediapipe import FaceMeshV2
+
+        return FaceMeshV2()
+
+
+@runner("iris")
+class IrisRunner(_FusedFaceRunner):
+    """Iris refinement: the 2×76 eye+iris landmarks (eye.rs:29-66) from
+    the fused iris cascade; compared points are the eyes only."""
+
+    iris = True
+
+    def points(self, out) -> np.ndarray:
+        return np.asarray(out["eyes"]).reshape(-1, 3)[:, :2]
+
+
+class _HostEstimatorRunner:
+    """The host engine path (call stack SURVEY §3.2+§3.3): short-range
+    BlazeFace ``Detector`` seeds a grown ROI, the generic ``Estimator``
+    runs the landmark net on that view, landmarks map back through the
+    view's rotated-rect transform."""
+
+    grow = 0.3  # DEFAULT_ROI_PADDING (landmark.rs:370-372)
+
+    @staticmethod
+    def network():  # override
+        raise NotImplementedError
+
+    def __init__(self):
+        from .detection import Detector
+        from .face.detection import ShortRangeNetwork
+        from .landmark import Estimator
+
+        self.detector = Detector(ShortRangeNetwork())
+        self.estimator = Estimator(self.network())
+
+    def __call__(self, frame: np.ndarray):
+        from .image import Image
+
+        img = Image(frame)
+        dets = [d for _cls, d in self.detector.detect(img).all_detections()]
+        if not dets:
+            return np.zeros((0, 2), np.float32), False
+        det = max(dets, key=lambda d: d.confidence())
+        view_rect = det.bounding_rect().grow_rel(self.grow)
+        view = img.view(view_rect)
+        est = self.estimator.estimate(view)
+        pos = est.landmarks_mut().positions()[:, :2]
+        rr = view.view_rect.array
+        return np.asarray(rrect_transform_out(rr, pos)), True
+
+
+@runner("multipie68_peppa")
+class PeppaRunner(_HostEstimatorRunner):
+    """68-pt PeppaFacialLandmark (multipie68.rs:50-86)."""
+
+    @staticmethod
+    def network():
+        from .face.landmark.multipie68 import PeppaFacialLandmark
+
+        return PeppaFacialLandmark()
+
+
+@runner("multipie68_onnx")
+class FaceOnnxRunner(_HostEstimatorRunner):
+    """68-pt FaceOnnx (multipie68.rs:88-118)."""
+
+    @staticmethod
+    def network():
+        from .face.landmark.multipie68 import FaceOnnx
+
+        return FaceOnnx()
+
+
+@runner("hand")
+class HandRunner:
+    """The fused hand cascade (palm detect → 21-pt landmark). The
+    checked-in fixtures are face photos (the same two the reference tests
+    with — it has no hand imagery either), so on those this runner finds
+    no hands and the eval reports n/a; point it at hand footage via
+    ``--input`` to produce the number."""
+
+    settle = 3
+
+    def __init__(self):
+        from .pipeline import MultiHandTracker
+
+        self.tracker = MultiHandTracker(max_hands=1)
+
+    def __call__(self, frame: np.ndarray):
+        state = self.tracker.init_state()
+        frame = jnp.asarray(frame)
+        for _ in range(self.settle):
+            state, out = self.tracker.run_frame(state, frame)
+        valid = np.asarray(out["valid"]).reshape(-1)
+        if not valid.any():
+            return np.zeros((0, 2), np.float32), False
+        slot = int(np.argmax(valid))
+        lms = np.asarray(out["landmarks"]).reshape(valid.size, -1, 3)
+        return lms[slot, :, :2], True
+
+
+# --------------------------------------------------------------------------
+# The sweep.
+# --------------------------------------------------------------------------
+
+
+def evaluate_runner(run, frame: np.ndarray, transforms=DEFAULT_TRANSFORMS):
+    """Returns per-transform deviation rows for one runner on one frame:
+    ``{"transform", "valid", "mean_px", "p95_px", "max_px"}``."""
+    h, w = frame.shape[:2]
+    base_pts, base_ok = run(frame)
+    rows = []
+    if not base_ok:
+        return [{"transform": "base", "valid": False}]
+    for t in transforms:
+        rrect = transform_rrect(h, w, t)
+        warped = warp_image(frame, rrect)
+        pts, ok = run(warped)
+        row = {"transform": t.name, "valid": bool(ok)}
+        if ok and len(pts) == len(base_pts):
+            back = map_points_back(pts, rrect, (h, w))
+            dev = np.linalg.norm(back - base_pts, axis=-1)
+            row.update(
+                mean_px=float(dev.mean()),
+                p95_px=float(np.percentile(dev, 95)),
+                max_px=float(dev.max()),
+            )
+        rows.append(row)
+    return rows
+
+
+def summarize(rows) -> dict:
+    """Across-sweep aggregate (identity excluded — it is exact by
+    construction and would dilute the mean)."""
+    live = [r for r in rows if r.get("valid") and "mean_px" in r
+            and r["transform"] != "identity"]
+    if not live:
+        return {"valid_transforms": 0}
+    return {
+        "valid_transforms": len(live),
+        "mean_px": float(np.mean([r["mean_px"] for r in live])),
+        "p95_px": float(np.max([r["p95_px"] for r in live])),
+        "max_px": float(np.max([r["max_px"] for r in live])),
+    }
+
+
+def main(argv=None) -> int:
+    import argparse
+    import os
+
+    # Env-var-only platform requests are not honored once a site hook
+    # pre-registers another plugin (this box's axon tunnel); re-assert
+    # through the config API like zaru_tpu.__main__ does.
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from .assets import fixture_path
+
+    parser = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    parser.add_argument(
+        "--models",
+        default=",".join(RUNNERS),
+        help=f"comma-separated subset of: {','.join(RUNNERS)}",
+    )
+    parser.add_argument(
+        "--input",
+        action="append",
+        help="input photo(s); default: both checked-in fixtures",
+    )
+    parser.add_argument("--json", help="write full per-transform rows here")
+    args = parser.parse_args(argv)
+
+    inputs = args.input or [
+        str(fixture_path("sad_linus.jpg")),
+        str(fixture_path("sad_linus_cropped.jpg")),
+    ]
+    from .image import Image
+
+    report = {}
+    for name in args.models.split(","):
+        run = RUNNERS[name.strip()]()
+        for path in inputs:
+            frame = np.asarray(Image.load(path).to_numpy())
+            rows = evaluate_runner(run, frame)
+            agg = summarize(rows)
+            key = f"{name}:{path.rsplit('/', 1)[-1]}"
+            report[key] = {"rows": rows, "summary": agg}
+            if agg.get("valid_transforms"):
+                print(
+                    f"{key}: mean {agg['mean_px']:.3f} px, "
+                    f"p95 {agg['p95_px']:.3f} px, max {agg['max_px']:.3f} px "
+                    f"over {agg['valid_transforms']} transforms"
+                )
+            else:
+                print(f"{key}: n/a (nothing detected on this input)")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
