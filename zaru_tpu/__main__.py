@@ -9,11 +9,13 @@ pipelines over offline inputs:
     python -m zaru_tpu track INPUT [--pipeline face|hand|body] [--iris]
         [--out out.jsonl] [--annotate DIR] [--max-frames N] [--slots K]
     python -m zaru_tpu serve INPUT... --streams N [--pipeline ...]
-        [--steps N] [--out out.jsonl] [--landmarks] [--shard]
+        [--steps N | --soak SECONDS] [--out out.jsonl] [--landmarks]
+        [--shard] [--no-loop] [--decode-wait MS]
     python -m zaru_tpu export OUT [--pipeline ...] [--batch N]
-        [--height H] [--width W] [--verify]
+        [--height H] [--width W] [--verify] [--platforms cpu,tpu]
     python -m zaru_tpu run-exported ARTIFACT INPUT [--state S.npz]
         [--out out.jsonl] [--max-frames N]
+    python -m zaru_tpu eval [--models ...] [--input PHOTO] [--json OUT]
 
 ``track`` reads INPUT (video file, GIF/APNG animation, single image, or a
 directory of images), runs the chosen fused cascade one stream at a time,
@@ -688,6 +690,22 @@ def main(argv=None) -> int:
 
     p_info = sub.add_parser("info", help="runtime + model-asset inventory")
     p_info.set_defaults(fn=cmd_info)
+
+    p_eval = sub.add_parser(
+        "eval",
+        add_help=False,
+        help="equivariance accuracy eval (see zaru_tpu.eval; "
+        "args forwarded)",
+    )
+    p_eval.set_defaults(fn=None)
+
+    if argv is None:
+        argv = sys.argv[1:]
+    # `eval` forwards to the dedicated tool (it owns its own argparse).
+    if argv[:1] == ["eval"]:
+        from .eval import main as eval_main
+
+        return eval_main(argv[1:])
 
     args = parser.parse_args(argv)
 
