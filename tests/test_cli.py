@@ -228,6 +228,20 @@ def test_run_exported_batch_artifact(tmp_path):
     assert recs[1]["padded"] == 1 and recs[1]["frames"] == 2
 
 
+def test_run_exported_tampered_manifest_rejected(tmp_path):
+    """A manifest that disagrees with the artifact's own signature is
+    rejected up front (the manifest is a deployment contract, not
+    decoration)."""
+    art = tmp_path / "t.stablehlo"
+    assert main(["export", str(art), "--height", "64", "--width", "64"]) == 0
+    mpath = tmp_path / "t.stablehlo.manifest.json"
+    meta = json.loads(mpath.read_text())
+    meta["frame_shape"] = [128, 128, 4]
+    mpath.write_text(json.dumps(meta))
+    with pytest.raises(SystemExit, match="manifest"):
+        main(["run-exported", str(art), str(fixture_path("sad_linus.jpg"))])
+
+
 def test_run_exported_stale_state_rejected(tmp_path):
     """A --state sidecar from a different artifact fails up front with
     one actionable line, not a TypeError mid-loop (ADVICE r4)."""
