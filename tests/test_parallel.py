@@ -163,3 +163,52 @@ def test_sharded_slot_tracker(mesh, sad_linus_full):
         np.asarray(ref_out["landmarks"])[:, 0],
         atol=5e-2,
     )
+
+
+def test_uploader_stages_into_stream_sharding(mesh, sad_linus_full):
+    """FrameUploader(device=frame_sharding) lands frames already in the
+    stream-sharded layout, so step_gated consumes the upload buffer with
+    no second device_put (ADVICE r4: serve --shard double transfer)."""
+    from zaru_tpu.parallel import ShardedTracker
+    from zaru_tpu.pipeline import FaceTracker
+    from zaru_tpu.pipeline.ingest import FrameUploader
+
+    tracker = FaceTracker()
+    sharded = ShardedTracker(tracker, mesh)
+    frame = np.asarray(sad_linus_full.data)
+    batch = 8
+    up = FrameUploader(
+        batch=batch, shape=frame.shape, device=sharded.frame_sharding
+    )
+    for slot in range(batch):
+        up.stage(slot, frame)
+    frames_dev = up.flush()
+    assert frames_dev.sharding == sharded.frame_sharding
+    state = sharded.init_state(batch)
+    state, out = sharded.step_gated(state, frames_dev)
+    assert bool(np.asarray(out["valid"]).all())
+
+
+def test_shard_state_replaces_host_edited_state(mesh, sad_linus_full):
+    """reset_state_slots surgery + shard_state round-trips a join reset
+    onto the mesh (the serve join/leave path)."""
+    from zaru_tpu.parallel import ShardedTracker
+    from zaru_tpu.pipeline import FaceTracker
+    from zaru_tpu.serve import reset_state_slots
+
+    tracker = FaceTracker()
+    sharded = ShardedTracker(tracker, mesh)
+    batch = 8
+    frames = sharded.shard_frames(
+        jnp.stack([sad_linus_full.data] * batch)
+    )
+    state = sharded.init_state(batch)
+    state, out = sharded.step_gated(state, frames)
+    assert bool(np.asarray(out["valid"]).all())
+    fresh = tracker.init_state(batch=batch)
+    state = sharded.shard_state(reset_state_slots(state, fresh, [3]))
+    tr = np.asarray(state["tracking"])
+    assert not tr[3] and tr[[0, 1, 2, 4, 5, 6, 7]].all()
+    # The reset stream redetects on the next gated step.
+    state, out = sharded.step_gated(state, frames)
+    assert bool(np.asarray(out["valid"]).all())
