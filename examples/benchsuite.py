@@ -774,7 +774,7 @@ def cmd_cascade(ctx):
 
 
 def cmd_batch_sweep(ctx):
-    for batch in ctx.args.sweep_batches:
+    for batch in (ctx.args.sweep_batches or [128, 256, 384, 512]):
         try:
             _cascade_once(ctx, batch)
         except Exception as e:
@@ -1104,9 +1104,12 @@ def cmd_latency(ctx):
     tracker = FaceTracker()
     first_met = None
     for batch in (ctx.args.sweep_batches or [1, 2, 4, 8, 16, 32, 64]):
-        # More scan steps at small batches so the per-dispatch tunnel
-        # share (and its subtraction noise) divides down.
-        steps = 32 if batch <= 16 else 16
+        # steps=16 matches bench.py's SCAN_STEPS exactly, so the B=1 and
+        # B=8 programs REUSE the driver-prewarmed cache entries (fresh
+        # remote compiles run 70-960 s in this service's moods); the
+        # ~27 ms tunnel share per dispatch is subtracted explicitly for
+        # the on-device estimate either way.
+        steps = 16
         frames = ctx.frames(batch)
         state = tracker.init_state(batch=batch)
         run_scan = bp.build_cascade_scan(tracker, steps, 9)
@@ -1138,7 +1141,7 @@ def cmd_latency(ctx):
               "batch": first_met, "target_fps": 2000.0})
 
     # Batch-1 mitigation arm: the single-stream program.
-    steps = 32
+    steps = 16
     frame1 = ctx.frames(1)[0]
     state1 = tracker.init_state()
 
@@ -1220,8 +1223,9 @@ def main():
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--only", default=None,
                     help="substring filter over variant labels")
-    ap.add_argument("--sweep-batches", type=int, nargs="+",
-                    default=[128, 256, 384, 512])
+    ap.add_argument("--sweep-batches", type=int, nargs="+", default=None,
+                    help="batch-sweep: default 128 256 384 512; "
+                    "latency: default 1 2 4 8 16 32 64")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
