@@ -23,15 +23,44 @@ if os.environ.get("ZARU_TPU_TEST_BACKEND", "cpu") == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
+import hashlib
 import pathlib
+import platform
 
 import jax as _jax
+
+
+def _machine_fingerprint() -> str:
+    """CPU-feature fingerprint for partitioning the compile cache.
+
+    XLA:CPU AOT cache entries bake in the compile machine's CPU features;
+    loading an entry produced on a different machine type can SIGILL (the
+    repo — and its .jax_cache — persists across build rounds on different
+    VMs, and a cross-machine entry crashed a full-suite run on
+    2026-08-20). Partitioning by feature hash keeps reuse on the same
+    machine and isolation across machines. TPU entries are unaffected
+    (bench tooling uses the shared .jax_cache root; TPU code is compiled
+    for the device, not the host)."""
+    try:
+        cpuinfo = pathlib.Path("/proc/cpuinfo").read_text()
+        flags = next(
+            (l for l in cpuinfo.splitlines() if l.startswith("flags")), ""
+        )
+    except OSError:
+        flags = ""
+    key = f"{platform.machine()}:{flags}"
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
 
 # Persistent compile cache: unchanged test programs skip XLA compilation
 # on re-runs (keyed by HLO hash, so code changes recompile as needed).
 _jax.config.update(
     "jax_compilation_cache_dir",
-    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+    str(
+        pathlib.Path(__file__).resolve().parent.parent
+        / ".jax_cache"
+        / f"cpu-{_machine_fingerprint()}"
+    ),
 )
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
