@@ -42,6 +42,11 @@ Subcommands (supersedes → the round-3 one-off script it replaces):
                (→ r3bench4, r3bench2 hand)
   landmark     landmark-half isolation with PINNED ROIs
                (→ r3bench2 landmark)
+  ledger       per-stage utilization ledger at the headline batch:
+               sampler / landmark CNN / track tail / detect branch /
+               decode+NMS, each as its own scanned program, plus the
+               full cascade and the derived amortized reconciliation
+               (VERDICT r4 #7; run with --batch 512)
   cnnstage     the CNN megakernel record: fused BlazeBlock stages vs
                XLA (kept as the measured-negative record — ops/
                cnn_stage.py) (→ r3bench3)
@@ -83,7 +88,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 SUBCOMMANDS = (
     "parity", "sampler", "phases", "cadence", "detect", "gate",
     "cascade", "batch-sweep", "hand", "landmark", "cnnstage", "bf16",
-    "prescale-sweep", "latency",
+    "prescale-sweep", "latency", "ledger",
 )
 
 # The bench face view: the fixture's tracked ROI at 1080p is a ~836 px
@@ -1209,6 +1214,197 @@ def cmd_latency(ctx):
             "ms_per_step_device": round(max(ms - tunnel_ms / steps, 0.0), 3),
             "windows": stats["n"],
         })
+
+
+# ---------------------------------------------------------------------------
+# ledger (VERDICT r4 #7 — per-stage utilization at the headline batch)
+# ---------------------------------------------------------------------------
+
+
+def cmd_ledger(ctx):
+    """Per-stage timing ledger for the production cascade at --batch.
+
+    Each stage is isolated as its own scanned device program at the
+    steady-tracking operating point (the geometry a production step
+    actually sees), in ONE process so all programs share the session:
+
+      sampler       rotated-view sampling → CNN input tensors
+      landmark-cnn  FaceMesh forward on pinned crops
+      track-tail    decode → 1€ smooth → unmap → ROI update
+      detect-full   letterbox + BlazeFace + decode + NMS (all streams);
+                    amortized /9 at production cadence
+      decode+nms    the detect tail alone, pinned CNN outputs
+      cascade       the full gated production-cadence step (the SAME
+                    traced program bench.py measures)
+
+    The derived row reconciles: sampler + cnn + tail + detect/9 +
+    residual(gate/select plumbing) = cascade. BENCHMARKS.md pairs these
+    with analytic FLOP/HBM-byte accounting (onnx/analysis.py; sampler
+    band-DMA volume) into MFU%/BW% per stage.
+    """
+    from zaru_tpu import bench_programs as bp
+    from zaru_tpu.pipeline import FaceTracker, _ops
+
+    B, steps = ctx.args.batch, ctx.args.steps
+    frames = ctx.frames(B)
+    tracker = FaceTracker()
+    params = tracker.params
+    res = tracker.lm_cnn.input_resolution()
+
+    # Steady-tracking operating point: one forced detect + one track.
+    state = tracker.init_state(batch=B)
+    step_b = jax.jit(
+        lambda p, s, f, d: tracker.step_batch(p, s, f, d),
+        static_argnums=(3,),
+    )
+    state, _ = step_b(params, state, frames, True)
+    state, _ = step_b(params, state, frames, False)
+    rois = state["roi"]
+    view_rects = jax.jit(
+        jax.vmap(lambda r: _ops.aspect_view_rect(r, res))
+    )(rois)
+    vr0 = np.asarray(view_rects[0])
+    log(f"[ledger] steady view rect {vr0.round(1)} "
+        f"(size {vr0[2]:.0f}, theta {vr0[4]:.3f})")
+    assert bool(np.asarray(state["tracking"]).all()), "not steady-tracking"
+
+    rows = {}
+
+    def run_stage(label, fn, *fargs):
+        stats = ctx.windows(fn, *fargs, label=f"ledger {label}")
+        ms = stats["best"] / steps * 1e3
+        rows[label] = ms
+        ctx.emit({
+            "bench": "ledger", "stage": label, "batch": B, "steps": steps,
+            "ms_per_step": round(ms, 3),
+            "ms_per_step_median": round(stats["median"] / steps * 1e3, 3),
+            "us_per_frame": round(ms * 1e3 / B, 2),
+        })
+
+    opts = dict(tracker.sampler_opts)
+
+    @jax.jit
+    def run_sampler(fr, rr):
+        def body(c, _):
+            out = tracker.lm_cnn.sample_views_fast(fr, rr + c * 1e-6, **opts)
+            return c + 1.0, out.reshape(out.shape[0], -1)[:, 0]
+
+        _, o = lax.scan(body, 0.0, None, length=steps)
+        return o
+
+    run_stage("sampler", run_sampler, frames, view_rects)
+
+    # Pinned crops for the CNN / tail isolations.
+    xs = jax.jit(
+        lambda fr, rr: tracker.lm_cnn.sample_views_fast(fr, rr, **opts)
+    )(frames, view_rects)
+    np.asarray(xs[0, 0, 0])
+
+    @jax.jit
+    def run_cnn(p, x):
+        def body(c, _):
+            outs = jax.vmap(
+                lambda t: tracker.lm_cnn.apply_tensor_hwc(p, t)
+            )(x + c * 1e-6)
+            return c + 1.0, outs[0].reshape(x.shape[0], -1)[:, 0]
+
+        _, o = lax.scan(body, 0.0, None, length=steps)
+        return o
+
+    run_stage("landmark-cnn", run_cnn, params["lm"], xs)
+
+    outputs = jax.jit(
+        lambda p, x: jax.vmap(
+            lambda t: tracker.lm_cnn.apply_tensor_hwc(p, t)
+        )(x)
+    )(params["lm"], xs)
+    np.asarray(outputs[0][0, :1])
+    seeded = jnp.zeros((B,), bool)
+
+    @jax.jit
+    def run_tail(st, outs, vr, rr):
+        def body(c, _):
+            outs_c = jax.tree_util.tree_map(lambda o: o + c * 1e-6, outs)
+            _st, out = jax.vmap(tracker._track_tail)(st, outs_c, vr, rr, seeded)
+            return c + 1.0, out["confidence"]
+
+        _, o = lax.scan(body, 0.0, None, length=steps)
+        return o
+
+    run_stage("track-tail", run_tail, state, outputs, view_rects, rois)
+
+    # Detect branch: _detect_batch computes its own letterbox fit, so
+    # the anti-hoisting perturbation rides a params leaf (cmd_detect's
+    # established eps-through-params idiom; c*1e-30 is numerically
+    # invisible but defeats loop-invariant code motion).
+    @jax.jit
+    def run_detect(p, fr):
+        def body(c, _):
+            eps = c * 1e-30
+            p2 = {
+                "det": jax.tree_util.tree_map(
+                    lambda a: a + eps.astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    p["det"],
+                ),
+                **{k: v for k, v in p.items() if k != "det"},
+            }
+            drois, founds = tracker._detect_batch(p2, fr)
+            return c + 1.0, jnp.sum(drois, axis=-1) + founds
+
+        _, o = lax.scan(body, 0.0, None, length=steps)
+        return o
+
+    run_stage("detect-full", run_detect, params, frames)
+
+    det_res = tracker.det_cnn.input_resolution()
+    fits = jax.jit(
+        jax.vmap(lambda f: _ops.full_frame_fit(f, det_res)[0])
+    )(frames)
+    det_rr = jnp.concatenate(
+        [fits, jnp.zeros((fits.shape[0], 1), jnp.float32)], axis=-1
+    )
+    det_xs = jax.jit(
+        lambda fr, rr: tracker.det_cnn.sample_views_letterbox(fr, rr)
+    )(frames, det_rr)
+    det_outs = jax.jit(
+        lambda p, x: jax.vmap(
+            lambda t: tracker.det_cnn.apply_tensor_hwc(p["det"], t)
+        )(x)
+    )(params, det_xs)
+    np.asarray(det_outs[0][0, :1])
+
+    @jax.jit
+    def run_det_tail(outs, ft):
+        def body(c, _):
+            outs_c = jax.tree_util.tree_map(lambda o: o + c * 1e-6, list(outs))
+            drois, founds = jax.vmap(
+                lambda o, f: tracker._detect_tail(o, f, det_res)
+            )(outs_c, ft)
+            return c + 1.0, jnp.sum(drois, axis=-1) + founds
+
+        _, o = lax.scan(body, 0.0, None, length=steps)
+        return o
+
+    run_stage("decode+nms", run_det_tail, det_outs, fits)
+
+    # The full gated production step — bench.py's own traced program.
+    run_scan = bp.build_cascade_scan(tracker, steps, 9)
+    cstate = tracker.init_state(batch=B)
+    cstate, confs = run_scan(params, cstate, frames)
+    assert bool(np.asarray(confs)[-1].min() > 0.5), "cascade not tracking"
+    run_stage("cascade", lambda p, s, f: run_scan(p, s, f)[1],
+              params, cstate, frames)
+
+    amortized = (rows["sampler"] + rows["landmark-cnn"] + rows["track-tail"]
+                 + rows["detect-full"] / 9.0)
+    ctx.emit({
+        "bench": "ledger", "stage": "derived", "batch": B,
+        "stage_sum_amortized_ms": round(amortized, 3),
+        "cascade_ms": round(rows["cascade"], 3),
+        "gate_residual_ms": round(rows["cascade"] - amortized, 3),
+        "detect_amortized_ms": round(rows["detect-full"] / 9.0, 3),
+    })
 
 
 # ---------------------------------------------------------------------------
