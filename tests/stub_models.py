@@ -113,6 +113,40 @@ def build_pose_landmark_stub() -> bytes:
     return w.serialize()
 
 
+def build_palm_detection_full_stub() -> bytes:
+    """palm_detection_full.onnx stand-in: 2016 anchors (2×24×24 + 6×12×12,
+    hand/detection.rs:115-120), 18 box params, NO detection fired (every
+    conf logit deeply negative) — the gated golden's contract is that
+    noise input must not produce confident palms."""
+    n_anchors = 2 * 24 * 24 + 6 * 12 * 12
+    assert n_anchors == 2016
+
+    boxes = np.zeros((n_anchors, 18), np.float32)
+    conf = np.full((n_anchors, 1), -8.0, np.float32)
+
+    w, flat = _stub_base(192)
+    _constant_head(w, flat, "boxes", boxes, (1, n_anchors, 18))
+    _constant_head(w, flat, "conf", conf, (1, n_anchors, 1))
+    return w.serialize()
+
+
+def build_hand_landmark_full_stub() -> bytes:
+    """hand_landmark_full.onnx stand-in: screen landmarks [1,63] +
+    presence [1,1] + handedness [1,1] + world landmarks [1,63]
+    (hand/landmark.rs:299-321)."""
+    pts = np.zeros((21, 3), np.float32)
+    pts[:, 0] = 112.0 + (np.arange(21) - 10) * 4.0
+    pts[:, 1] = 80.0 + (np.arange(21) % 5) * 20.0
+    pts[:, 2] = -2.0
+
+    w, flat = _stub_base(224)
+    _constant_head(w, flat, "ld", pts, (1, 63))
+    _constant_head(w, flat, "presence", np.asarray([0.9], np.float32), (1, 1))
+    _constant_head(w, flat, "handed", np.asarray([0.7], np.float32), (1, 1))
+    _constant_head(w, flat, "world", np.zeros(63, np.float32), (1, 63))
+    return w.serialize()
+
+
 def write_stub_pose_models(directory) -> None:
     import os
 
@@ -122,6 +156,21 @@ def write_stub_pose_models(directory) -> None:
         ("pose_detection.onnx", det),
         ("pose_landmark_lite.onnx", lm),
         ("pose_landmark_full.onnx", lm),
+    ]:
+        with open(os.path.join(directory, name), "wb") as f:
+            f.write(data)
+
+
+def write_stub_missing_models(directory) -> None:
+    """ALL five missing-upstream blobs as stubs — the CI-style run that
+    proves every gated real-weight golden auto-activates
+    (VERDICT r4 #8)."""
+    import os
+
+    write_stub_pose_models(directory)
+    for name, data in [
+        ("palm_detection_full.onnx", build_palm_detection_full_stub()),
+        ("hand_landmark_full.onnx", build_hand_landmark_full_stub()),
     ]:
         with open(os.path.join(directory, name), "wb") as f:
             f.write(data)
