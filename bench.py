@@ -100,16 +100,19 @@ def quiet_fps(batch: int) -> float:
     # 14,750 at 384, and 11,072 at 128 (benchsuite cascade/batch-sweep,
     # 2026-08-19). Early-exit sits just under the quiet rate so a
     # healthy run records the real headline; contended runs fall
-    # through to the plateau rule instead of stopping early. Batch 1-2:
-    # the interactive frontier (round 5, benchsuite latency) measured
-    # ~275 fps at batch 1 tunnel-inclusive; quiet sits just under.
+    # through to the plateau rule instead of stopping early. Batch 1:
+    # the interactive frontier (round 5, benchsuite latency, 2026-08-20)
+    # measured 145 fps tunnel-inclusive (5.35 ms/frame on-device = 187
+    # fps; tunnel roundtrip 24.3 ms that session, varies 24-32) — quiet
+    # sits under the worst-tunnel reading so a healthy run can
+    # early-exit.
     if batch >= 450:
         return 14900.0
     if batch >= 300:
         return 14500.0
     if batch >= 64:
         return 10800.0
-    return 1050.0 if batch >= 8 else 260.0
+    return 1050.0 if batch >= 8 else 130.0
 
 
 def log(*a):
