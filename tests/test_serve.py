@@ -191,6 +191,67 @@ class TestServeCLI:
             False,
         ]
 
+    def test_single_stream_fast_path_schema_and_parity(self, tmp_path):
+        """--streams 1 takes the un-vmapped tracker.step program
+        (BENCHMARKS "frontier": 24% faster at batch 1) but must keep the
+        record schema of the batch program and agree with it on the
+        fixture."""
+        from zaru_tpu.__main__ import main
+        from zaru_tpu.assets import fixture_path
+
+        src = str(fixture_path("sad_linus_cropped.jpg"))
+        outs = {}
+        for label, extra in (("single", []), ("batch", ["--batch-program"])):
+            out = tmp_path / f"{label}.jsonl"
+            rc = main(
+                ["serve", src, "--streams", "1", "--steps", "3",
+                 "--out", str(out), *extra]
+            )
+            assert rc == 0
+            outs[label] = [
+                json.loads(line) for line in out.read_text().splitlines()
+            ]
+        for recs in outs.values():
+            assert [r["step"] for r in recs] == [0, 1, 2]
+            assert all(r["valid"] == [True] for r in recs)
+            assert all(len(r["confidence"]) == 1 for r in recs)
+        # Same fixture, same models: both programs track with high
+        # confidence. (Bitwise equality is not the contract — the batch
+        # program's detection gate is batch-level while the single
+        # program detects on loss — but steady-state confidence must
+        # agree closely.)
+        for a, b in zip(outs["single"], outs["batch"]):
+            assert abs(a["confidence"][0] - b["confidence"][0]) < 0.05
+
+    def test_single_stream_join_resets_state(self, tmp_path, capsys):
+        """no-loop single-stream: when the source ends and a pending one
+        joins slot 0, the fresh stream must re-detect (state reset)."""
+        import shutil
+
+        from zaru_tpu.__main__ import main
+        from zaru_tpu.assets import fixture_path
+
+        src = fixture_path("sad_linus_cropped.jpg")
+        dirs = []
+        for name, count in (("a", 2), ("b", 2)):
+            d = tmp_path / name
+            d.mkdir()
+            for i in range(count):
+                shutil.copy(src, d / f"{i}.jpg")
+            dirs.append(str(d))
+        out = tmp_path / "serve.jsonl"
+        rc = main(
+            ["serve", *dirs, "--streams", "1", "--steps", "8", "--no-loop",
+             "--out", str(out)]
+        )
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "slot 0: leave" in err and "slot 0: join" in err
+        recs = [json.loads(line) for line in out.read_text().splitlines()]
+        # Both sources' frames track the same fixture face.
+        assert any(r["valid"] == [True] for r in recs)
+        assert recs[-1]["valid"] == [True] or recs[-1].get("active") == [False]
+
     def test_soak_mode_runs_for_duration(self, tmp_path, capsys):
         from zaru_tpu.__main__ import main
         from zaru_tpu.assets import fixture_path

@@ -211,6 +211,13 @@ def cmd_serve(args) -> int:
       p50/p95, drops, joins, leaves.
     - **soak** (``--soak SECONDS``): run for a wall-clock duration
       instead of a step count.
+    - **single-stream fast path** (``--streams 1``, default on): the
+      un-vmapped ``tracker.step`` program instead of the gated batch
+      program — ``lax.cond`` executes only the taken branch, measured
+      24% faster per frame at batch 1 (BENCHMARKS.md "Latency/batch
+      operating frontier"); the interactive regime the reference's own
+      webcam loop lives in (facemesh.rs:33-60). ``--batch-program``
+      restores the gated batch path at streams 1.
     """
     import time
 
@@ -277,11 +284,28 @@ def cmd_serve(args) -> int:
         shape=shape,
         device=sharded.frame_sharding if sharded is not None else None,
     )
-    fresh_state = tracker.init_state(batch=args.streams)
-    if sharded is not None:
-        state = sharded.init_state(batch=args.streams)
-    else:
+    single = (
+        args.streams == 1 and sharded is None and not args.batch_program
+    )
+    if single:
+        import jax
+
+        fresh_state = tracker.init_state()
         state = fresh_state
+
+        @jax.jit
+        def step_single(st, frames_dev):
+            st2, out = tracker.step(tracker.params, st, frames_dev[0])
+            # Leading stream axis keeps the record schema identical to
+            # the batch program's.
+            return st2, jax.tree_util.tree_map(lambda x: x[None], out)
+
+    else:
+        fresh_state = tracker.init_state(batch=args.streams)
+        if sharded is not None:
+            state = sharded.init_state(batch=args.streams)
+        else:
+            state = fresh_state
     sink = open(args.out, "w") if args.out else sys.stdout
 
     report_keys = ("confidence", "presence", "pose_flag")
@@ -306,9 +330,12 @@ def cmd_serve(args) -> int:
             if joined:
                 # A fresh occupant must re-detect, not inherit the
                 # previous stream's ROI/filter state.
-                state = reset_state_slots(state, fresh_state, joined)
-                if sharded is not None:
-                    state = sharded.shard_state(state)
+                if single:
+                    state = fresh_state
+                else:
+                    state = reset_state_slots(state, fresh_state, joined)
+                    if sharded is not None:
+                        state = sharded.shard_state(state)
             for slot, frame in enumerate(frames):
                 uploader.stage(slot, frame)
             frames_dev = uploader.flush()
@@ -316,6 +343,8 @@ def cmd_serve(args) -> int:
                 # frames_dev already carries the stream sharding (the
                 # uploader stages straight into it — no second transfer).
                 state, out = sharded.step_gated(state, frames_dev)
+            elif single:
+                state, out = step_single(state, frames_dev)
             else:
                 state, out = tracker.run_frames_gated(state, frames_dev)
             rec = {"step": step, "valid": np.asarray(out["valid"]).tolist()}
@@ -642,6 +671,12 @@ def main(argv=None) -> int:
         "--decode-wait", type=float, default=1000.0, metavar="MS",
         help="per-step decode deadline; a stream missing it re-serves its "
         "previous frame and counts a drop (default 1000 ms)",
+    )
+    p_serve.add_argument(
+        "--batch-program", action="store_true",
+        help="use the gated batch program even at --streams 1 (default: "
+        "a single stream takes the un-vmapped tracker.step fast path, "
+        "measured 24%% faster per frame — BENCHMARKS.md frontier)",
     )
     p_serve.set_defaults(fn=cmd_serve)
 
