@@ -52,6 +52,100 @@ class TestStreamSet:
         frames, _ = ss.gather(wait=1.0)
         assert frames[0].shape == (4, 4, 4)
 
+    def test_corrupt_decode_counts_drop_and_survives(self):
+        """A decode exception mid-stream re-serves the previous frame
+        and counts a drop — the survive-a-flaky-camera contract
+        (webcam.rs:291-313) covers FAILED decodes, not just slow ones.
+        A source whose iterator RECOVERS keeps serving; a generator
+        that dies on the exception leaves cleanly (no crash either way)."""
+
+        class FlakyIter:
+            # One good frame, one OSError, then good frames again —
+            # a camera driver hiccup, not a dead source.
+            def __init__(self):
+                self.n = 0
+
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                self.n += 1
+                if self.n == 2:
+                    raise OSError("truncated jpeg")
+                if self.n > 5:
+                    raise StopIteration
+                return np.full((4, 4, 4), 1 if self.n == 1 else 3, np.uint8)
+
+        def flaky_factory():
+            return FlakyIter()
+
+        flaky_factory.name = "flaky"
+        ss = StreamSet([flaky_factory, frames_source(9, 2)])
+        ss.prime()
+        values = []
+        for _ in range(4):
+            frames, events = ss.gather(wait=1.0)
+            values.append(int(frames[0][0, 0, 0]))
+            assert frames[1][0, 0, 0] == 2  # healthy stream unaffected
+        # First gather hits the OSError: previous frame (1) re-served,
+        # drop counted; later gathers serve the recovered frames (3).
+        assert values[0] == 1 and 3 in values
+        assert ss.drops[0] >= 1 and ss.drops[1] == 0
+        ss.close()
+
+    def test_dead_generator_source_leaves_cleanly(self):
+        """A generator source that raises mid-stream cannot resume
+        (Python closes it): the slot takes one drop, then leaves —
+        never propagating the exception into the serve loop."""
+
+        def dying_factory():
+            yield np.full((4, 4, 4), 1, np.uint8)
+            raise OSError("device unplugged")
+
+        dying_factory.name = "dying"
+        ss = StreamSet([dying_factory, frames_source(9, 2)])
+        ss.prime()
+        kinds = []
+        for _ in range(4):
+            frames, events = ss.gather(wait=1.0)
+            kinds += [e.kind for e in events]
+            assert frames[1][0, 0, 0] == 2
+        assert ss.drops[0] >= 1
+        assert "leave" in kinds and ss.active == [False, True]
+        ss.close()
+
+    def test_midrun_join_rejects_wrong_resolution(self):
+        """A pending source with a different resolution must NOT crash
+        the loop when it tries to join mid-run; it is rejected and the
+        next pending source joins instead."""
+        ss = StreamSet(
+            [frames_source(1, 1), frames_source(6, 2)],
+            pending=[
+                frames_source(3, 7, shape=(8, 8, 4)),  # wrong resolution
+                frames_source(3, 9),                   # correct
+            ],
+        )
+        ss.prime()
+        kinds = []
+        for _ in range(4):
+            frames, events = ss.gather(wait=1.0)
+            kinds += [(e.kind, e.source) for e in events]
+            assert all(f.shape == (4, 4, 4) for f in frames)
+        assert ("reject", "src7x3") in kinds
+        assert ("join", "src9x3") in kinds
+        ss.close()
+
+    def test_stats_fresh_frames_exclude_drops(self):
+        """record_step(n_active, n_dropped) counts only fresh frames."""
+        ss = StreamSet([frames_source(4, 1), frames_source(4, 2)])
+        ss.prime()
+        st = ServeStats(streams=2)
+        st.record_step(0.01, 2, n_dropped=0)
+        st.record_step(0.01, 2, n_dropped=1)
+        assert st.frames == 3
+        assert "3 fresh frames" in st.summary(ss)
+        ss.close()
+
     def test_slow_decode_counts_drop_and_recovers(self):
         release = threading.Event()
 

@@ -275,9 +275,12 @@ def cmd_serve(args) -> int:
 
     streams = StreamSet(initial, pending)
     try:
-        streams.prime()
+        prime_events = streams.prime()
     except RuntimeError as e:
         raise SystemExit(str(e))
+    for ev in prime_events:
+        src = f" ({ev.source})" if ev.source else ""
+        print(f"stream slot {ev.slot}: {ev.kind}{src}", file=sys.stderr)
     shape = streams.frames[0].shape
     uploader = FrameUploader(
         batch=args.streams,
@@ -303,7 +306,9 @@ def cmd_serve(args) -> int:
     else:
         fresh_state = tracker.init_state(batch=args.streams)
         if sharded is not None:
-            state = sharded.init_state(batch=args.streams)
+            # One state build: re-place the fresh tree into the sharded
+            # layout instead of init_state()-ing a second one.
+            state = sharded.shard_state(fresh_state)
         else:
             state = fresh_state
     sink = open(args.out, "w") if args.out else sys.stdout
@@ -318,6 +323,10 @@ def cmd_serve(args) -> int:
     # the NEXT step's frames, whose decodes ran while the device stepped.
     frames = list(streams.frames)
     events = []
+    # Drops recorded by the gather that produced THIS step's frames —
+    # re-served frames must not count as fresh throughput.
+    step_drops = 0
+    drop_total = sum(streams.drops)
     try:
         while True:
             t_step = time.perf_counter()
@@ -356,7 +365,10 @@ def cmd_serve(args) -> int:
             if args.landmarks:
                 rec["landmarks"] = np.asarray(out["landmarks"]).tolist()
             print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
-            stats.record_step(time.perf_counter() - t_step, streams.n_active)
+            stats.record_step(
+                time.perf_counter() - t_step, streams.n_active,
+                n_dropped=step_drops,
+            )
             step += 1
             if step % args.report_every == 0:
                 print(stats.report_line(streams), file=sys.stderr)
@@ -366,6 +378,8 @@ def cmd_serve(args) -> int:
             elif step >= args.steps:
                 break
             frames, events = streams.gather(wait=args.decode_wait / 1e3)
+            new_total = sum(streams.drops)
+            step_drops, drop_total = new_total - drop_total, new_total
             if args.no_loop and streams.n_active == 0:
                 print("all sources exhausted", file=sys.stderr)
                 break
@@ -522,21 +536,28 @@ def cmd_run_exported(args) -> int:
     n_frames = 0
     step = 0
 
-    def run_step(frame_or_batch, rec_extra):
+    def run_step(frame_or_batch, rec_extra, n_real=None):
         nonlocal state, n_valid, step
         try:
             state, out = restored(state, frame_or_batch)
         except (ValueError, TypeError) as e:
+            # Frames and sidecar were validated against the artifact's
+            # signature up front, so name both possibilities honestly.
             raise SystemExit(
-                f"step {step} (frames {frame_or_batch.shape}) does not "
-                f"match the artifact's exported signature: {e}"
+                f"step {step} (frames {frame_or_batch.shape}) failed: "
+                f"exported-signature mismatch or a runtime error inside "
+                f"the artifact — {e}"
             ) from e
         rec = _to_jsonable(out)
         rec.update(rec_extra)
         rec.pop("rois", None)
         rec.pop("roi", None)
         print(json.dumps(rec), file=sink, flush=sink is sys.stdout)
-        n_valid += int(np.asarray(out["valid"]).sum())
+        valid = np.asarray(out["valid"]).reshape(-1)
+        if n_real is not None:
+            # Padding frames (last partial batch) must not count.
+            valid = valid[:n_real]
+        n_valid += int(valid.sum())
         step += 1
 
     try:
@@ -562,6 +583,7 @@ def cmd_run_exported(args) -> int:
                 run_step(
                     np.stack(pending),
                     {"frames": n_frames - real, "padded": batch - real},
+                    n_real=real,
                 )
         else:
             for idx, image in enumerate(_iter_frames(Path(args.input))):

@@ -357,8 +357,14 @@ def main(argv=None) -> int:
     from .image import Image
 
     report = {}
-    for name in args.models.split(","):
-        run = RUNNERS[name.strip()]()
+    names = [n.strip() for n in args.models.split(",")]
+    unknown = [n for n in names if n not in RUNNERS]
+    if unknown:
+        raise SystemExit(
+            f"unknown model(s) {unknown}; valid: {', '.join(sorted(RUNNERS))}"
+        )
+    for name in names:
+        run = RUNNERS[name]()
         for path in inputs:
             frame = np.asarray(Image.load(path).to_numpy())
             rows = evaluate_runner(run, frame)

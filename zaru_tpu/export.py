@@ -161,7 +161,7 @@ def load_state(path: str | Path):
                 "the artifact (python -m zaru_tpu export) to produce the "
                 "pickle-free format"
             )
-        if "__tree__" not in data.files:
+        if "__tree__" not in data.files or "__format__" not in data.files:
             raise ValueError(f"{path} is not a zaru_tpu state sidecar")
         version = int(data["__format__"])
         if version != _SIDECAR_FORMAT:

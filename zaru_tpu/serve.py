@@ -24,6 +24,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import os
 import time
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -36,7 +37,7 @@ class SlotEvent:
     """One join/leave transition on a slot during ``gather``."""
 
     slot: int
-    kind: str  # "leave" | "join"
+    kind: str  # "leave" | "join" | "reject"
     source: str = ""
 
 
@@ -60,6 +61,7 @@ class StreamSet:
     """
 
     _END = object()
+    _FAIL = object()
 
     def __init__(self, initial, pending=(), *, pool=None):
         self.slots = len(initial)
@@ -76,6 +78,7 @@ class StreamSet:
         self.served = [0] * self.slots
         self.joins = 0
         self.leaves = 0
+        self._shape = None  # pinned by prime(); mid-run joins must match
         for i, factory in enumerate(initial):
             if factory is not None:
                 self._attach(i, factory)
@@ -84,10 +87,19 @@ class StreamSet:
 
     def _attach(self, slot: int, factory) -> bool:
         """Binds a source to a slot and synchronously decodes its first
-        frame. Returns False (slot stays free) for an empty source."""
-        it = iter(factory())
-        first = self._decode(it)
-        if first is self._END:
+        frame. Returns False (slot stays free) for an empty or failing
+        source, or — after prime() pinned the serving resolution — one
+        whose frames have a different shape (the batch program is traced
+        at one resolution; a mismatched joiner must not crash the loop
+        for every other stream)."""
+        try:
+            it = iter(factory())
+            first = self._decode(it)
+        except Exception:
+            return False
+        if first is self._END or first is self._FAIL:
+            return False
+        if self._shape is not None and first.shape != self._shape:
             return False
         self._iters[slot] = it
         self.frames[slot] = first
@@ -98,20 +110,27 @@ class StreamSet:
 
     @classmethod
     def _decode(cls, it):
+        """Next frame, END on exhaustion, FAIL on a decode error — the
+        reference's loop survives corrupt frames (webcam.rs:291-313);
+        a failed decode counts a drop and the previous frame re-serves."""
         try:
             return np.asarray(next(it))
         except StopIteration:
             return cls._END
+        except Exception:
+            return cls._FAIL
 
     def _join_from_pending(self, slot: int, events: list[SlotEvent]):
         while self._pending:
             factory = self._pending.pop(0)
+            name = getattr(factory, "name", "")
             if self._attach(slot, factory):
                 self.joins += 1
-                events.append(
-                    SlotEvent(slot, "join", getattr(factory, "name", ""))
-                )
+                events.append(SlotEvent(slot, "join", name))
                 return
+            # Empty, failing, or wrong-resolution source: skip it and
+            # try the next pending one (the loop must survive).
+            events.append(SlotEvent(slot, "reject", name))
         self.frames[slot] = (
             np.zeros_like(self.frames[slot])
             if self.frames[slot] is not None
@@ -139,6 +158,7 @@ class StreamSet:
                     f"stream {i} shape {f.shape} != stream 0 shape {shape}; "
                     "serving batches require one resolution"
                 )
+        self._shape = shape  # mid-run joiners must match (see _attach)
         return events
 
     def gather(self, wait: float = 0.0) -> tuple[list[np.ndarray], list[SlotEvent]]:
@@ -168,6 +188,13 @@ class StreamSet:
                 self.leaves += 1
                 events.append(SlotEvent(i, "leave"))
                 self._join_from_pending(i, events)
+            elif result is self._FAIL or (
+                self._shape is not None and result.shape != self._shape
+            ):
+                # Corrupt/failed (or wrong-shaped) decode: re-serve the
+                # previous frame, count a drop, keep the source going.
+                self.drops[i] += 1
+                self._futs[i] = self._pool.submit(self._decode, self._iters[i])
             else:
                 self.frames[i] = result
                 self.served[i] += 1
@@ -208,23 +235,36 @@ def reset_state_slots(state, fresh_state, slots):
 
 @dataclass
 class ServeStats:
-    """Step accounting + the periodic stats line."""
+    """Step accounting + the periodic stats line.
+
+    ``frames`` counts FRESH frames only — a slot that re-served its
+    previous frame (drop) does not inflate throughput. Step-time
+    percentiles are computed over a bounded window (the last
+    ``WINDOW`` steps) so an indefinite ``--soak`` run neither leaks
+    memory nor pays ever-growing percentile cost.
+    """
+
+    WINDOW = 4096
 
     streams: int
     t_start: float = field(default_factory=time.perf_counter)
     steps: int = 0
     frames: int = 0
-    step_times: list = field(default_factory=list)
+    step_times: "deque" = field(
+        default_factory=lambda: deque(maxlen=ServeStats.WINDOW)
+    )
     _last_report_t: float = 0.0
     _last_report_frames: int = 0
 
-    def record_step(self, dt: float, n_active: int):
+    def record_step(self, dt: float, n_active: int, n_dropped: int = 0):
         self.steps += 1
-        self.frames += n_active
+        self.frames += max(0, n_active - n_dropped)
         self.step_times.append(dt)
 
     def _pct(self, q: float) -> float:
-        return float(np.percentile(self.step_times, q)) if self.step_times else 0.0
+        if not self.step_times:
+            return 0.0
+        return float(np.percentile(list(self.step_times), q))
 
     def report_line(self, stream_set: StreamSet) -> str:
         """The periodic line: interval fps, p50 step, drops, active."""
@@ -233,7 +273,8 @@ class ServeStats:
         int_frames = self.frames - self._last_report_frames
         self._last_report_t = now
         self._last_report_frames = self.frames
-        recent = self.step_times[-max(1, len(self.step_times) // 4):]
+        times = list(self.step_times)
+        recent = times[-max(1, len(times) // 4):]
         p50 = float(np.percentile(recent, 50)) * 1e3 if recent else 0.0
         return (
             f"step {self.steps}: {int_frames / max(interval, 1e-9):.6g} "
@@ -245,10 +286,11 @@ class ServeStats:
     def summary(self, stream_set: StreamSet) -> str:
         dt = time.perf_counter() - self.t_start
         return (
-            f"served {self.frames} frames over {self.streams} slots in "
-            f"{dt:.2f}s = {self.frames / max(dt, 1e-9):.6g} frames/s "
+            f"served {self.frames} fresh frames over {self.streams} slots "
+            f"in {dt:.2f}s = {self.frames / max(dt, 1e-9):.6g} frames/s "
             f"end-to-end; step p50 {self._pct(50) * 1e3:.1f}ms / "
-            f"p95 {self._pct(95) * 1e3:.1f}ms, "
+            f"p95 {self._pct(95) * 1e3:.1f}ms "
+            f"(last {len(self.step_times)} steps), "
             f"drops {sum(stream_set.drops)}, joins {stream_set.joins}, "
             f"leaves {stream_set.leaves}"
         )
