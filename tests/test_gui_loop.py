@@ -100,6 +100,48 @@ class TestRunHarness:
             gui.run(lambda: 7)
         assert e.value.code == 7
 
+    def test_main_decorator_runs_on_call_not_decoration(self, monkeypatch):
+        """@gui.main must NOT execute at decoration time (helpers defined
+        below the decorated function would not exist yet); calling the
+        wrapper runs the app under the loop."""
+        monkeypatch.setenv("ZARU_TPU_GUI", "none")
+        ran = []
+
+        @gui.main
+        def app():
+            ran.append(helper())
+
+        def helper():  # defined AFTER the decorated function, like real apps
+            return 42
+
+        assert ran == []  # decoration did not run it
+        app()
+        assert ran == [42]
+
+    def test_init_logger_accepts_lowercase_env(self, monkeypatch):
+        import logging
+
+        monkeypatch.setenv("ZARU_TPU_LOG", "debug")
+        gui.init_logger()  # must not raise ValueError('Unknown level')
+        assert logging.getLogger("zaru_tpu").level == logging.DEBUG
+
+    def test_file_renderer_drains_fast_producer(self, tmp_path, monkeypatch):
+        """A producer faster than the 5 ms poll cadence must still get
+        every frame recorded promptly (whole-queue drain per iteration)."""
+        monkeypatch.setenv("ZARU_TPU_GUI", "file")
+        monkeypatch.setenv("ZARU_TPU_GUI_DIR", str(tmp_path))
+        n = 300
+
+        def app():
+            for i in range(n):
+                gui.show_image("w", _frame(i))
+
+        t0 = time.monotonic()
+        gui.run(app)
+        assert len(list((tmp_path / "w").glob("*.png"))) == n
+        # One-frame-per-5ms drain would need >=1.5 s just to drain.
+        assert time.monotonic() - t0 < 10
+
     def test_request_stop_from_app(self, monkeypatch):
         monkeypatch.setenv("ZARU_TPU_GUI", "none")
 

@@ -86,14 +86,40 @@ class TestWebcamNegotiation:
         )
         assert m.fps == 120
 
-    def test_exact_resolution(self):
+    def test_resolution_is_at_least(self):
+        # Reference semantics (webcam.rs:167-190): the resolution
+        # constraint is >=, and the RESOLUTION preference then picks the
+        # largest eligible mode.
         m = negotiate_format(
             self.MODES, WebcamOptions(resolution=Resolution(1280, 720))
         )
-        assert (m.width, m.height) == (1280, 720)
+        assert (m.width, m.height) == (1920, 1080)
+
+    def test_resolution_floor_with_framerate_pref(self):
+        # >= 1280x720 excludes the 120 fps 640x480 mode; among eligible,
+        # FRAMERATE preference picks the fastest (1280x720@60).
+        m = negotiate_format(
+            self.MODES,
+            WebcamOptions(
+                resolution=Resolution(1280, 720),
+                prefer=ParamPreference.FRAMERATE,
+            ),
+        )
+        assert (m.width, m.height, m.fps) == (1280, 720, 60)
+
+    def test_fps_floor_beats_exact_resolution(self):
+        # The verdict-review scenario (webcam.rs:97-190): asking for
+        # 640x480@60 with RESOLUTION preference must return a mode that
+        # satisfies BOTH floors (1280x720@60), not silently drop fps.
+        m = negotiate_format(
+            self.MODES,
+            WebcamOptions(resolution=Resolution(640, 480), fps=60),
+        )
+        assert m.fps >= 60 and m.width >= 640
 
     def test_constraint_degradation(self):
-        # Impossible fps: falls back to resolution-only, then any.
+        # Impossible fps: the preferred (resolution) constraint drops
+        # first, then fps — ending at the largest mode overall.
         m = negotiate_format(
             self.MODES,
             WebcamOptions(resolution=Resolution(1920, 1080), fps=500),

@@ -37,7 +37,9 @@ def save_params(path: str | Path, params: dict) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path.resolve(), params)
+    # force=True: the npz path silently overwrites, so the orbax path
+    # must too — "save latest" loops call this repeatedly on one path.
+    ckptr.save(path.resolve(), params, force=True)
     ckptr.wait_until_finished()
 
 

@@ -34,6 +34,7 @@ __all__ = ["show_image", "request_stop", "run", "main", "init_logger"]
 
 _active_loop: EventLoop | None = None
 _fallback_renderers: dict[tuple, object] = {}
+_fallback_dismissed: set[tuple] = set()
 
 
 def _backend() -> str:
@@ -46,7 +47,11 @@ def _backend() -> str:
 def show_image(key: str, image) -> None:
     """Displays ``image`` in the window named ``key``
     (reference gui/mod.rs:172-182). Inside :func:`run`, posts to the event
-    loop; standalone, renders directly."""
+    loop; standalone, renders directly. Once the user dismisses the
+    standalone window (close button / ESC), further frames are dropped —
+    the window must not keep reopening (gui/mod.rs:64-76 ends the app on
+    close; a standalone library call can't exit the host script, so
+    dropping is the analog)."""
     arr = image.to_numpy() if hasattr(image, "to_numpy") else image
     loop = _active_loop
     if loop is not None:
@@ -59,12 +64,16 @@ def show_image(key: str, image) -> None:
         # frame — the process is shutting down.
         return
     cache_key = (backend, os.environ.get("ZARU_TPU_GUI_DIR"))
+    if cache_key in _fallback_dismissed:
+        return
     renderer = _fallback_renderers.get(cache_key)
     if renderer is None:
         renderer = _fallback_renderers[cache_key] = make_renderer(backend)
     renderer.render(key, arr)
-    if backend == "cv2":
-        renderer.poll()
+    if backend == "cv2" and not renderer.poll():
+        _fallback_dismissed.add(cache_key)
+        renderer.close()
+        _fallback_renderers.pop(cache_key, None)
 
 
 def request_stop(code: int = 0) -> None:
@@ -79,13 +88,17 @@ def init_logger(level=logging.DEBUG) -> None:
     """Default logging setup (reference lib.rs:69-91): debug for the app and
     zaru_tpu, warn elsewhere; ``ZARU_TPU_LOG`` overrides the root level."""
     env_level = os.environ.get("ZARU_TPU_LOG")
+    if env_level:
+        # RUST_LOG-style values are conventionally lowercase ("debug");
+        # logging level names are uppercase — accept either (and ints).
+        level = int(env_level) if env_level.isdigit() else env_level.upper()
     logging.basicConfig(
         level=logging.WARNING,
         format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
         stream=sys.stderr,
     )
-    logging.getLogger("zaru_tpu").setLevel(env_level or level)
-    logging.getLogger("__main__").setLevel(env_level or level)
+    logging.getLogger("zaru_tpu").setLevel(level)
+    logging.getLogger("__main__").setLevel(level)
 
 
 def run(callback) -> None:
@@ -140,13 +153,24 @@ def run(callback) -> None:
 
 def main(fn):
     """Decorator equivalent of ``#[zaru::main]``
-    (zaru-macros/src/lib.rs:10-50)."""
+    (zaru-macros/src/lib.rs:10-50): calling the decorated function runs
+    it under the GUI event loop. The Rust macro's wrapped ``main`` runs
+    after the whole module has loaded; the Python analog is the standard
+    idiom::
+
+        @gui.main
+        def main(): ...
+
+        if __name__ == "__main__":
+            main()
+
+    (Running at decoration time — an earlier behavior — would execute
+    the app before helpers defined below it exist.)
+    """
 
     def wrapper():
         run(fn)
 
-    # Execute immediately when used in a __main__ module, mirroring the
-    # attribute macro's behavior.
-    if fn.__module__ == "__main__":
-        wrapper()
+    wrapper.__name__ = getattr(fn, "__name__", "main")
+    wrapper.__doc__ = fn.__doc__
     return wrapper

@@ -175,23 +175,35 @@ class EventLoop:
 
     def _drain_once(self) -> int:
         with self._lock:
-            batch = [
-                (key, q.popleft())
-                for key, q in self._mailbox.items()
-                if q
-            ]
-        for key, frame in batch:
-            self.renderer.render(key, frame)
-            self._fps_count[key] = self._fps_count.get(key, 0) + 1
+            batch = []
+            for key, q in self._mailbox.items():
+                if not q:
+                    continue
+                if self.renderer.coalesce:
+                    batch.append((key, [q.popleft()]))
+                else:
+                    # Recording sinks (FileRenderer) keep every frame:
+                    # drain the WHOLE queue per iteration, or a producer
+                    # above ~200 fps outruns the 5 ms poll cadence and
+                    # the unbounded queue grows for the entire run.
+                    frames = list(q)
+                    q.clear()
+                    batch.append((key, frames))
+        n = 0
+        for key, frames in batch:
+            for frame in frames:
+                self.renderer.render(key, frame)
+            n += len(frames)
+            self._fps_count[key] = self._fps_count.get(key, 0) + len(frames)
         now = time.monotonic()
         if now - self._fps_t0 >= 1.0:
             dt = now - self._fps_t0
-            for key, n in self._fps_count.items():
-                if n:
-                    self.renderer.set_title(key, f"{key} — {n / dt:.0f} FPS")
+            for key, cnt in self._fps_count.items():
+                if cnt:
+                    self.renderer.set_title(key, f"{key} — {cnt / dt:.0f} FPS")
             self._fps_count = {k: 0 for k in self._fps_count}
             self._fps_t0 = now
-        return len(batch)
+        return n
 
     def _pending(self) -> bool:
         with self._lock:

@@ -107,7 +107,14 @@ class ShardedTracker:
         return self._stream0
 
     def shard_frames(self, frames):
-        return jax.device_put(jnp.asarray(frames), self._stream0)
+        # np.asarray (not jnp): a host batch must scatter each shard
+        # straight to its own device — jnp.asarray would first stage the
+        # WHOLE batch on the default device (double transfer + one-chip
+        # HBM spike at fleet scale). Device-resident inputs pass through
+        # to a device-to-device reshard.
+        if not isinstance(frames, jax.Array):
+            frames = np.asarray(frames)
+        return jax.device_put(frames, self._stream0)
 
     def step(self, state, frames):
         """One sharded step: ``frames [B, H, W, 4]`` with B divisible by the

@@ -35,30 +35,28 @@ class Animation:
         self._frames = frames
 
     @staticmethod
-    def from_path(path: str | Path) -> "Animation":
+    def _from_pil_source(source) -> "Animation":
         from PIL import Image as PILImage, ImageSequence
 
-        img = PILImage.open(path)
-        frames = []
-        for frame in ImageSequence.Iterator(img):
-            duration_ms = frame.info.get("duration", 100) or 100
-            rgba = np.asarray(frame.convert("RGBA"))
-            frames.append(AnimationFrame(Image.from_array(rgba), duration_ms / 1000.0))
+        with PILImage.open(source) as img:
+            frames = []
+            for frame in ImageSequence.Iterator(img):
+                duration_ms = frame.info.get("duration", 100) or 100
+                rgba = np.asarray(frame.convert("RGBA"))
+                frames.append(
+                    AnimationFrame(Image.from_array(rgba), duration_ms / 1000.0)
+                )
         return Animation(frames)
+
+    @staticmethod
+    def from_path(path: str | Path) -> "Animation":
+        return Animation._from_pil_source(path)
 
     @staticmethod
     def from_data(data: bytes) -> "Animation":
         import io
 
-        from PIL import Image as PILImage, ImageSequence
-
-        img = PILImage.open(io.BytesIO(data))
-        frames = []
-        for frame in ImageSequence.Iterator(img):
-            duration_ms = frame.info.get("duration", 100) or 100
-            rgba = np.asarray(frame.convert("RGBA"))
-            frames.append(AnimationFrame(Image.from_array(rgba), duration_ms / 1000.0))
-        return Animation(frames)
+        return Animation._from_pil_source(io.BytesIO(data))
 
     def frames(self):
         """Iterates over the frames once (anim.rs:95-105)."""

@@ -62,8 +62,10 @@ class HttpCam:
         ctype = next(
             (h for h in headers if h.lower().startswith(b"content-type")), b""
         )
-        m = re.search(rb'boundary="?([^";\s]+)"?', ctype)
-        if not m or b"multipart" not in ctype:
+        # Media types and parameter names are case-insensitive (RFC 9110);
+        # cameras emit e.g. "Boundary=" / "Multipart/X-Mixed-Replace".
+        m = re.search(rb'boundary="?([^";\s]+)"?', ctype, re.IGNORECASE)
+        if not m or b"multipart" not in ctype.lower():
             raise RuntimeError(f"not a multipart MJPEG stream: {ctype.decode(errors='replace')}")
         boundary = m.group(1)
         if not boundary.startswith(b"--"):

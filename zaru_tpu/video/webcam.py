@@ -118,7 +118,18 @@ def _enum_modes(path: str) -> list[_Mode]:
 
 def negotiate_format(modes: list[_Mode], options: WebcamOptions) -> _Mode | None:
     """Picks the best JPEG mode per the option constraints, dropping them
-    progressively (webcam.rs:97-190)."""
+    progressively — reference semantics (webcam.rs:96-190):
+
+    - constraints are *at least*: resolution eligible when both dims >=
+      the requested size; fps eligible when round(fps) >= requested
+      (negotiate_format_step, webcam.rs:167-190);
+    - among eligible modes the preference is enforced by the SORT
+      (maximize pixels then fps, or fps then pixels);
+    - on failure the PREFERRED constraint is dropped first
+      (webcam.rs:148-161: prefer resolution takes the resolution
+      constraint first — the sort still chases max resolution), then
+      the other; both gone means no JPEG mode exists at all.
+    """
     jpeg = [m for m in modes if m.fourcc in (_FOURCC_MJPG, _FOURCC_JPEG)]
     if not jpeg:
         return None
@@ -128,23 +139,29 @@ def negotiate_format(modes: list[_Mode], options: WebcamOptions) -> _Mode | None
             return (m.width * m.height, m.fps)
         return (m.fps, m.width * m.height)
 
-    # Constraint sets, strongest first; drop stepwise (webcam.rs:140-165).
-    constraint_sets = [
-        lambda m: (
-            (options.resolution is None
-             or (m.width, m.height) == (options.resolution.width, options.resolution.height))
-            and (options.fps is None or m.fps >= options.fps)
-        ),
-        lambda m: options.resolution is None
-        or (m.width, m.height) == (options.resolution.width, options.resolution.height),
-        lambda m: options.fps is None or m.fps >= options.fps,
-        lambda m: True,
-    ]
-    for constraint in constraint_sets:
-        candidates = [m for m in jpeg if constraint(m)]
+    res, fps = options.resolution, options.fps
+    while True:
+        candidates = [
+            m for m in jpeg
+            if (res is None or (m.width >= res.width and m.height >= res.height))
+            and (fps is None or round(m.fps) >= fps)
+        ]
         if candidates:
             return max(candidates, key=sort_key)
-    return None
+        if options.prefer == ParamPreference.RESOLUTION:
+            if res is not None:
+                res = None
+            elif fps is not None:
+                fps = None
+            else:
+                return None
+        else:
+            if fps is not None:
+                fps = None
+            elif res is not None:
+                res = None
+            else:
+                return None
 
 
 class Webcam:
@@ -213,10 +230,20 @@ class Webcam:
             except Exception as e:
                 dump = os.environ.get("ZARU_TPU_WEBCAM_ERROR_DUMP")
                 if dump:
+                    # The dump must never break the blank-frame contract
+                    # (webcam.rs:291-313): a missing/unwritable dump dir
+                    # logs and moves on.
                     fname = f"{dump}/frame-{int(time.time() * 1e3)}.jpg"
-                    with open(fname, "wb") as f:
-                        f.write(data)
-                    log.error("corrupted frame dumped to %s (%s)", fname, e)
+                    try:
+                        os.makedirs(dump, exist_ok=True)
+                        with open(fname, "wb") as f:
+                            f.write(data)
+                        log.error("corrupted frame dumped to %s (%s)", fname, e)
+                    except OSError as dump_err:
+                        log.error(
+                            "failed to decode frame (%s); dump to %s also "
+                            "failed (%s), returning blank", e, fname, dump_err,
+                        )
                 else:
                     log.error("failed to decode frame, returning blank: %s", e)
                 return Image.new(self._mode.width, self._mode.height)
