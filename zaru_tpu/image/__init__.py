@@ -24,6 +24,10 @@ from ..ops.sampling import sample_view
 from ..resolution import AspectRatio, Resolution
 from . import decode as _decode
 
+# Shared across every ImageView.to_image call so repeated
+# materializations at one output size reuse the compiled program.
+_sample_view_jit = jax.jit(sample_view, static_argnames=("out_w", "out_h"))
+
 __all__ = ["Image", "ImageView", "AsImageView", "as_view"]
 
 RectLike = Union[Rect, RotatedRect]
@@ -177,8 +181,11 @@ class ImageView:
         """Materializes the view (size rounded up; image/mod.rs:318-331)."""
         w = int(np.ceil(self.width()))
         h = int(np.ceil(self.height()))
-        fn = jax.jit(sample_view, static_argnames=("out_w", "out_h"))
-        return Image(fn(self._image.data, jnp.asarray(self._rect.array), out_w=w, out_h=h))
+        # Module-level jit: a fresh jax.jit wrapper per call would defeat
+        # the trace cache and pay a compile per materialization.
+        return Image(_sample_view_jit(
+            self._image.data, jnp.asarray(self._rect.array), out_w=w, out_h=h
+        ))
 
     def get(self, x: int, y: int) -> Color:
         """Single-pixel view read (test/debug; image/mod.rs:296-303).

@@ -158,6 +158,10 @@ def import_model(
         raise NotImplementedError(
             f"model {g.name!r} uses unsupported ONNX ops: {unsupported}"
         )
+    for n in nodes:
+        # Opset-sensitive handlers (Softmax < 13 flattening semantics)
+        # read this; the model header's opset is the only source.
+        n.opset = model.opset
 
     use_nhwc = layout == "NHWC"
     if use_nhwc:
@@ -197,9 +201,16 @@ def import_model(
                     results = result if isinstance(result, list) else [result]
                     out_tags = [False] * len(results)
             except Exception as e:
-                raise type(e)(
-                    f"while lowering {node.op_type} node {node.name!r}: {e}"
-                ) from e
+                # Keep the node context in str(e) where possible, but
+                # `type(e)(msg)` breaks for exception classes whose
+                # constructor doesn't take a single string (e.g. jax's
+                # TracerArrayConversionError) — fall back to RuntimeError.
+                msg = f"while lowering {node.op_type} node {node.name!r}: {e}"
+                try:
+                    exc = type(e)(msg)
+                except Exception:
+                    exc = RuntimeError(msg)
+                raise exc from e
             for out_name, val, tag in zip(node.outputs, results, out_tags):
                 env[out_name] = val
                 tags[out_name] = tag

@@ -61,8 +61,10 @@ def _conv(node, vals, statics, tags):
     dilations = node.attrs.get("dilations", [1, 1])
     group = node.attrs.get("group", 1)
     auto_pad, pad_pairs = _conv_pads(node, 2)
-    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+    if auto_pad == "SAME_UPPER":
         padding = "SAME"
+    elif auto_pad == "SAME_LOWER":
+        padding = "SAME_LOWER"  # odd pixel at the BEGIN edge (ONNX spec)
     elif auto_pad == "VALID":
         padding = "VALID"
     else:
@@ -112,6 +114,11 @@ def _channel_vector(v):
 def _binary(node, vals, statics, tags):
     a, b = vals[0], vals[1]
     ta, tb = tags[0], tags[1]
+    if len(vals) > 2 and any(t != (ta or tb) for t in tags[2:]):
+        # Variadic Min/Max with mixed layouts beyond the first two
+        # inputs: decline so the dispatcher falls back to the NCHW path
+        # instead of silently mixing physical layouts.
+        return None
     if ta == tb:
         pass  # same physical layout on both sides
     elif ta and not tb:

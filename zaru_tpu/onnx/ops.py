@@ -170,8 +170,17 @@ def _max(node, vals, statics):
 
 @register("Softmax")
 def _softmax(node, vals, statics):
-    axis = node.attrs.get("axis", -1)
-    return jax.nn.softmax(vals[0], axis=axis)
+    x = vals[0]
+    # Opset >= 13: per-axis softmax, default axis -1. Opset < 13:
+    # default axis 1 and the softmax runs over the FLATTENED trailing
+    # dims [axis:] (the "coerced 2-D" semantics). The importer stamps
+    # node.opset from the model header.
+    opset = getattr(node, "opset", 13)
+    if opset >= 13:
+        return jax.nn.softmax(x, axis=node.attrs.get("axis", -1))
+    axis = node.attrs.get("axis", 1) % max(x.ndim, 1)
+    flat = jnp.reshape(x, x.shape[:axis] + (-1,))
+    return jnp.reshape(jax.nn.softmax(flat, axis=-1), x.shape)
 
 
 @register("Identity")
@@ -216,8 +225,12 @@ def _conv(node, vals, statics):
     group = node.attrs.get("group", 1)
     auto_pad, pad_pairs = _conv_pads(node, spatial)
 
-    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+    if auto_pad == "SAME_UPPER":
         padding = "SAME"
+    elif auto_pad == "SAME_LOWER":
+        # lax distinguishes them: the odd padding pixel goes at the
+        # BEGIN edge for SAME_LOWER (ONNX spec), not the end.
+        padding = "SAME_LOWER"
     elif auto_pad == "VALID":
         padding = "VALID"
     else:
@@ -252,33 +265,62 @@ def _conv(node, vals, statics):
     return out
 
 
-def _pool_output(x, kernel, strides, pad_pairs, ceil_mode, reducer, init, count_include_pad=None):
+def _pool_pads(node, x, kernel, strides, dilations):
+    """Pool padding pairs honoring explicit pads AND auto_pad (the
+    Conv handler honors auto_pad; pools must too — TF-converted models
+    use SAME_UPPER pools routinely)."""
+    auto_pad, pad_pairs = _conv_pads(node, 2)
+    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        pairs = []
+        for i, (k, s, d) in enumerate(zip(kernel, strides, dilations)):
+            size = x.shape[2 + i]
+            k_eff = d * (k - 1) + 1
+            out = -(-size // s)  # ceil
+            total = max((out - 1) * s + k_eff - size, 0)
+            half = total // 2
+            pairs.append(
+                (total - half, half) if auto_pad == "SAME_LOWER"
+                else (half, total - half)
+            )
+        return pairs
+    return pad_pairs
+
+
+def _pool_output(x, kernel, strides, pad_pairs, ceil_mode, reducer, init,
+                 count_include_pad=None, dilations=(1, 1)):
     """Shared 2-D pooling on NCHW via lax.reduce_window."""
     kh, kw = kernel
     sh, sw = strides
+    dh, dw = dilations
+    keh, kew = dh * (kh - 1) + 1, dw * (kw - 1) + 1
     (pt, pb), (pl, pr) = pad_pairs
 
     if ceil_mode:
         # Extend end padding so that floor-division matches ceil semantics.
         h, w = x.shape[2], x.shape[3]
-        out_h = -(-(h + pt + pb - kh) // sh) + 1
-        out_w = -(-(w + pl + pr - kw) // sw) + 1
-        pb = (out_h - 1) * sh + kh - h - pt
-        pr = (out_w - 1) * sw + kw - w - pl
+        out_h = -(-(h + pt + pb - keh) // sh) + 1
+        out_w = -(-(w + pl + pr - kew) // sw) + 1
+        pb = (out_h - 1) * sh + keh - h - pt
+        pr = (out_w - 1) * sw + kew - w - pl
 
     window = (1, 1, kh, kw)
     strides4 = (1, 1, sh, sw)
+    dil4 = (1, 1, dh, dw)
     pads4 = ((0, 0), (0, 0), (pt, pb), (pl, pr))
 
     # NOTE: init must be a Python scalar so JAX recognizes the add/max monoid
     # (differentiable reduce_window_sum/max lowering).
-    out = lax.reduce_window(x, init, reducer, window, strides4, pads4)
+    out = lax.reduce_window(
+        x, init, reducer, window, strides4, pads4, window_dilation=dil4
+    )
     if count_include_pad is None:
         return out
     if count_include_pad:
         return out / (kh * kw)
     ones = jnp.ones((1, 1, x.shape[2], x.shape[3]), x.dtype)
-    counts = lax.reduce_window(ones, 0.0, lax.add, window, strides4, pads4)
+    counts = lax.reduce_window(
+        ones, 0.0, lax.add, window, strides4, pads4, window_dilation=dil4
+    )
     return lax.stop_gradient(1.0 / counts) * out
 
 
@@ -287,9 +329,13 @@ def _max_pool(node, vals, statics):
     x = vals[0]
     kernel = node.attrs["kernel_shape"]
     strides = node.attrs.get("strides", [1, 1])
-    _, pad_pairs = _conv_pads(node, 2)
+    dilations = node.attrs.get("dilations", [1, 1])
+    pad_pairs = _pool_pads(node, x, kernel, strides, dilations)
     ceil_mode = node.attrs.get("ceil_mode", 0)
-    return _pool_output(x, kernel, strides, pad_pairs, ceil_mode, lax.max, -jnp.inf)
+    return _pool_output(
+        x, kernel, strides, pad_pairs, ceil_mode, lax.max, -jnp.inf,
+        dilations=dilations,
+    )
 
 
 @register("AveragePool")
@@ -297,7 +343,7 @@ def _avg_pool(node, vals, statics):
     x = vals[0]
     kernel = node.attrs["kernel_shape"]
     strides = node.attrs.get("strides", [1, 1])
-    _, pad_pairs = _conv_pads(node, 2)
+    pad_pairs = _pool_pads(node, x, kernel, strides, (1, 1))
     ceil_mode = node.attrs.get("ceil_mode", 0)
     cip = node.attrs.get("count_include_pad", 0)
     return _pool_output(
@@ -315,8 +361,15 @@ def _reduce(node, vals, statics, fn, *, linear=False):
     x = vals[0]
     axes = node.attrs.get("axes")
     keepdims = bool(node.attrs.get("keepdims", 1))
-    if axes is None and len(vals) > 1:
+    # vals[1] is None for an omitted optional input (ONNX empty name).
+    if axes is None and len(vals) > 1 and vals[1] is not None:
         axes = _need_static(node, statics, 1, "axes").tolist()
+    if axes is not None and len(axes) == 0:
+        # An EMPTY axes tensor means reduce-all unless
+        # noop_with_empty_axes asks for the identity (opset 18).
+        if node.attrs.get("noop_with_empty_axes", 0):
+            return x
+        axes = None
     if axes is None:
         axes = list(range(x.ndim))
     # Reduce one axis at a time: multi-axis reduce over non-adjacent dims
@@ -400,6 +453,8 @@ def _reshape(node, vals, statics):
 def _flatten(node, vals, statics):
     axis = node.attrs.get("axis", 1)
     x = vals[0]
+    if axis < 0:  # negative axis is legal since opset 11: r + axis
+        axis += x.ndim
     lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
     return jnp.reshape(x, (lead, -1))
 
@@ -425,7 +480,7 @@ def _concat(node, vals, statics):
 def _squeeze(node, vals, statics):
     x = vals[0]
     axes = node.attrs.get("axes")
-    if axes is None and len(vals) > 1:
+    if axes is None and len(vals) > 1 and vals[1] is not None:
         axes = _need_static(node, statics, 1, "axes").tolist()
     if axes is None:
         axes = [i for i, s in enumerate(x.shape) if s == 1]
@@ -497,7 +552,7 @@ def _split(node, vals, statics):
     x = vals[0]
     axis = node.attrs.get("axis", 0)
     split = node.attrs.get("split")
-    if split is None and len(vals) > 1:
+    if split is None and len(vals) > 1 and vals[1] is not None:
         split = _need_static(node, statics, 1, "split").tolist()
     if split is None:
         n = len(node.outputs)
@@ -534,7 +589,13 @@ def _resize(node, vals, statics):
     elif len(vals) > 2 and vals[2] is not None:
         scales = _need_static(node, statics, 2, "scales")
         if np.size(scales) > 0:
-            sizes = [int(round(s * d)) for s, d in zip(scales.tolist(), x.shape)]
+            # Spec: output dim = floor(scale * dim) (NOT round — they
+            # differ for fractional scales on odd dims; the torch oracle
+            # floors too). Epsilon guards 1.9999999-style float error.
+            sizes = [
+                int(np.floor(float(s) * d + 1e-7))
+                for s, d in zip(scales.tolist(), x.shape)
+            ]
     if sizes is None:
         raise ValueError(f"Resize node {node.name!r}: no static sizes/scales")
     sizes = [int(s) for s in sizes]
@@ -580,7 +641,8 @@ def _upsample(node, vals, statics):
     scales = node.attrs.get("scales")
     if scales is None:
         scales = _need_static(node, statics, 1, "scales").tolist()
-    sizes = [int(round(s * d)) for s, d in zip(scales, x.shape)]
+    # Spec: floor(scale * dim), matching Resize (and the torch oracle).
+    sizes = [int(np.floor(float(s) * d + 1e-7)) for s, d in zip(scales, x.shape)]
     mode = node.attrs.get("mode", "nearest")
     if isinstance(mode, bytes):
         mode = mode.decode()
@@ -739,7 +801,15 @@ def _conv_transpose(node, vals, statics):
     group = node.attrs.get("group", 1)
     if group != 1:
         raise NotImplementedError("grouped ConvTranspose")
-    _, pad_pairs = _conv_pads(node, spatial)
+    auto_pad, pad_pairs = _conv_pads(node, spatial)
+    if auto_pad not in ("NOTSET", "VALID") or "output_shape" in node.attrs:
+        # The explicit-pads math below does not implement the auto_pad /
+        # output_shape output-size solving; raising beats a silently
+        # larger output (same honesty policy as the Resize handler).
+        raise NotImplementedError(
+            f"ConvTranspose node {node.name!r}: auto_pad={auto_pad!r} / "
+            "output_shape are not supported — re-export with explicit pads"
+        )
     out_pad = node.attrs.get("output_padding", [0] * spatial)
 
     # ONNX ConvTranspose weights are [C_in, C_out/g, kh, kw]; lax transposed
