@@ -135,6 +135,42 @@ int zj_cam_query(const char* path, char* name, size_t n, uint32_t* caps) {
     return 0;
 }
 
+// Emits every discrete frame interval for (pixfmt, w, h); if the driver
+// reports stepwise/continuous intervals (or none), emits one 30 fps
+// entry so the mode is still negotiable. Returns the updated count.
+static int zj_emit_size(int fd, uint32_t pixfmt, uint32_t w, uint32_t h,
+                        uint32_t* out, int cap_entries, int count) {
+    bool any = false;
+    for (uint32_t ii = 0;; ii++) {
+        v4l2_frmivalenum fiv = {};
+        fiv.index = ii;
+        fiv.pixel_format = pixfmt;
+        fiv.width = w;
+        fiv.height = h;
+        if (xioctl(fd, VIDIOC_ENUM_FRAMEINTERVALS, &fiv) != 0) break;
+        if (fiv.type != V4L2_FRMIVAL_TYPE_DISCRETE) break;
+        any = true;
+        if (count < cap_entries) {
+            out[count * 5 + 0] = pixfmt;
+            out[count * 5 + 1] = w;
+            out[count * 5 + 2] = h;
+            // fps = denominator/numerator of the frame *interval*.
+            out[count * 5 + 3] = fiv.discrete.denominator;
+            out[count * 5 + 4] = fiv.discrete.numerator;
+            count++;
+        }
+    }
+    if (!any && count < cap_entries) {
+        out[count * 5 + 0] = pixfmt;
+        out[count * 5 + 1] = w;
+        out[count * 5 + 2] = h;
+        out[count * 5 + 3] = 30;
+        out[count * 5 + 4] = 1;
+        count++;
+    }
+    return count;
+}
+
 // Enumerates (fourcc, width, height, fps_num, fps_den) tuples into `out`
 // (5 uint32 each, capacity `cap_entries`). Returns count or -1.
 int zj_cam_enum(const char* path, uint32_t* out, int cap_entries) {
@@ -151,25 +187,23 @@ int zj_cam_enum(const char* path, uint32_t* out, int cap_entries) {
             fsz.index = si;
             fsz.pixel_format = fmt.pixelformat;
             if (xioctl(fd, VIDIOC_ENUM_FRAMESIZES, &fsz) != 0) break;
-            if (fsz.type != V4L2_FRMSIZE_TYPE_DISCRETE) break;
-            for (uint32_t ii = 0;; ii++) {
-                v4l2_frmivalenum fiv = {};
-                fiv.index = ii;
-                fiv.pixel_format = fmt.pixelformat;
-                fiv.width = fsz.discrete.width;
-                fiv.height = fsz.discrete.height;
-                if (xioctl(fd, VIDIOC_ENUM_FRAMEINTERVALS, &fiv) != 0) break;
-                if (fiv.type != V4L2_FRMIVAL_TYPE_DISCRETE) break;
-                if (count < cap_entries) {
-                    out[count * 5 + 0] = fmt.pixelformat;
-                    out[count * 5 + 1] = fsz.discrete.width;
-                    out[count * 5 + 2] = fsz.discrete.height;
-                    // fps = denominator/numerator of the frame *interval*.
-                    out[count * 5 + 3] = fiv.discrete.denominator;
-                    out[count * 5 + 4] = fiv.discrete.numerator;
-                    count++;
-                }
+            if (fsz.type == V4L2_FRMSIZE_TYPE_DISCRETE) {
+                count = zj_emit_size(fd, fmt.pixelformat, fsz.discrete.width,
+                                     fsz.discrete.height, out, cap_entries,
+                                     count);
+                continue;
             }
+            // STEPWISE/CONTINUOUS ranges (ISP/codec drivers): emit the
+            // min and max sizes so the device still negotiates instead
+            // of enumerating zero modes. (Index 0 describes the whole
+            // range; there is no index 1.)
+            count = zj_emit_size(fd, fmt.pixelformat, fsz.stepwise.min_width,
+                                 fsz.stepwise.min_height, out, cap_entries,
+                                 count);
+            count = zj_emit_size(fd, fmt.pixelformat, fsz.stepwise.max_width,
+                                 fsz.stepwise.max_height, out, cap_entries,
+                                 count);
+            break;
         }
     }
     close(fd);
@@ -189,6 +223,14 @@ ZjCam* zj_cam_open(const char* path, uint32_t fourcc, uint32_t width,
     fmt.fmt.pix.height = height;
     fmt.fmt.pix.field = V4L2_FIELD_ANY;
     if (xioctl(fd, VIDIOC_S_FMT, &fmt) != 0) {
+        close(fd);
+        return nullptr;
+    }
+    // Drivers ADJUST the format and return success rather than failing;
+    // silently proceeding would hand non-JPEG bytes (or a different
+    // resolution) to a caller that negotiated this exact mode.
+    if (fmt.fmt.pix.pixelformat != fourcc || fmt.fmt.pix.width != width ||
+        fmt.fmt.pix.height != height) {
         close(fd);
         return nullptr;
     }
@@ -212,7 +254,12 @@ ZjCam* zj_cam_open(const char* path, uint32_t fourcc, uint32_t width,
 
     ZjCam* cam = new ZjCam();
     cam->fd = fd;
-    cam->n_buffers = (int)req.count;
+    // REQBUFS may GRANT more buffers than requested (videobuf2 raises
+    // count to the driver minimum); clamp to our array capacity — using
+    // a subset of the granted buffers is legal, writing past
+    // buffers[kMaxBuffers] is heap corruption.
+    cam->n_buffers =
+        (int)(req.count > kMaxBuffers ? kMaxBuffers : req.count);
     for (int i = 0; i < cam->n_buffers; i++) {
         v4l2_buffer buf = {};
         buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;

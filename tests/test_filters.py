@@ -30,6 +30,30 @@ def test_alpha_beta_reference_sequence():
     assert f.filter(-10.0, elapsed=0.2) == pytest.approx(-9.4, abs=1e-5)
 
 
+def test_alpha_beta_zero_elapsed_does_not_poison_velocity():
+    """A zero-dt sample (duplicate timestamps happen in traced scans)
+    must not divide by zero — one inf would NaN every later estimate."""
+    import numpy as np
+
+    f = SimpleFilter(AlphaBetaFilter(0.5, 0.1))
+    f.filter(1.0, elapsed=0.016)
+    out0 = f.filter(2.0, elapsed=0.0)
+    assert np.isfinite(out0)
+    for _ in range(3):
+        out = f.filter(2.0, elapsed=0.016)
+        assert np.isfinite(out)
+    assert out == pytest.approx(2.0, abs=0.5)
+
+
+def test_simple_filter_reset_keeps_shape_and_dtype():
+    import numpy as np
+
+    f = SimpleFilter(AlphaBetaFilter(0.5, 0.1), shape=(3,), dtype=np.float64)
+    f.filter(np.ones(3), elapsed=0.1)
+    f.reset_state()
+    assert f.state["x"].shape == (3,) and f.state["x"].dtype == np.float64
+
+
 def test_one_euro_first_value_passthrough():
     f = SimpleFilter(OneEuroFilter(min_cutoff=1.0, beta=0.0))
     assert f.filter(5.0, elapsed=0.0) == 5.0

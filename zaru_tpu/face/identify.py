@@ -177,11 +177,17 @@ class StreamIdentifier:
 
         # The tracked ROI is the landmark bounding box grown by the
         # tracker's roi_padding; the embedding wants the host path's
-        # face-box-grown-by-crop_grow framing. One growth compensates for
-        # both: (1 + crop_grow) / (1 + roi_padding) - 1. Measured on the
-        # fixture pair: cross-photo same-person distance 0.40 (vs 1.32
-        # uncompensated — framing dominates MobileFaceNet's embedding).
-        grow = (1.0 + self.crop_grow) / (1.0 + self.tracker.roi_padding) - 1.0
+        # face-box-grown-by-crop_grow framing. rect_grow_rel adds
+        # ``amount`` per SIDE (size × (1 + 2·amount), rect.rs:85-96), so
+        # the compensating growth solves (1+2g) = (1+2cg)/(1+2rp):
+        # g = (cg − rp) / (1 + 2·rp). (The earlier
+        # (1+cg)/(1+rp) − 1 form over-shrank the crop ~3.3% vs the host
+        # FaceIdentifier framing; framing dominates MobileFaceNet's
+        # embedding — cross-photo same-person distance 0.40 vs 1.32
+        # uncompensated on the fixture pair.)
+        grow = (self.crop_grow - self.tracker.roi_padding) / (
+            1.0 + 2.0 * self.tracker.roi_padding
+        )
 
         def crop_rect(roi):
             # AXIS-ALIGNED bounding rect of the tracked ROI, re-framed and
@@ -242,12 +248,11 @@ class StreamIdentifier:
 
 def _roi_corners(roi):
     """[5] rrect → [4, 2] corner points (for the unrotated bounding)."""
+    from ..geometry import rotate_ccw
+
     cx, cy, w, h, th = (roi[i] for i in range(5))
-    c, s = jnp.cos(th), jnp.sin(th)
-    hw, hh = w * 0.5, h * 0.5
     pts = jnp.asarray([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
-    xy = pts * jnp.asarray([hw, hh])
-    rot = jnp.stack(
-        [c * xy[:, 0] - s * xy[:, 1], s * xy[:, 0] + c * xy[:, 1]], axis=-1
-    )
-    return rot + jnp.asarray([cx, cy])
+    xy = pts * jnp.asarray([w * 0.5, h * 0.5])
+    # The shared functional-core rotation (one rotation convention for
+    # the whole repo — geometry.py header).
+    return rotate_ccw(xy, th) + jnp.asarray([cx, cy])

@@ -101,7 +101,13 @@ class AlphaBetaFilter(FilterParams):
         prediction = state["x"] + state["v"] * elapsed
         residual = value - prediction
         x_new = prediction + self.alpha * residual
-        v_new = state["v"] + self.beta * residual / elapsed
+        # elapsed == 0 (duplicate timestamps happen in traced scans; see
+        # OneEuroFilter's guard) must not divide by zero — one inf here
+        # would poison the carried velocity into NaN forever. Hold the
+        # previous velocity for a zero-dt sample.
+        safe_dt = xp.where(elapsed > 0, elapsed, 1.0)
+        v_upd = state["v"] + self.beta * residual / safe_dt
+        v_new = xp.where(elapsed > 0, v_upd, state["v"])
         out = xp.where(state["init"], x_new, value)
         new_state = {
             "x": out,
@@ -187,6 +193,7 @@ class SimpleFilter:
 
     def __init__(self, params: FilterParams, shape=(), dtype=np.float32):
         self.params = params
+        self._shape, self._dtype = shape, dtype
         self.state = params.init_state(shape, dtype)
 
     def filter(self, value, elapsed=None):
@@ -201,9 +208,10 @@ class SimpleFilter:
         self.params = params
 
     def reset_state(self) -> None:
-        self.state = self.params.init_state(
-            np.shape(next(iter(self.state.values()))) if self.state else ()
-        )
+        # Re-create with the CONSTRUCTED shape/dtype — inferring from the
+        # live state dropped the dtype (silently reverting f64 state to
+        # f32) and mapped empty (Noop) state to shape ().
+        self.state = self.params.init_state(self._shape, self._dtype)
 
 
 class TimedFilterAdapter:
