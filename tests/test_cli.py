@@ -14,6 +14,20 @@ from zaru_tpu.__main__ import main
 from zaru_tpu.assets import fixture_path
 
 
+@pytest.fixture
+def no_persistent_cache():
+    """Same mitigation as tests/test_serve.py: the serve cascade
+    program's persisted XLA:CPU executable aborts on re-read (see that
+    fixture's docstring); serve-CLI tests compile fresh."""
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
 def test_track_face_fixture(tmp_path):
     out = tmp_path / "out.jsonl"
     ann = tmp_path / "ann"
@@ -58,7 +72,7 @@ def test_track_directory_and_max_frames(tmp_path):
     assert [r["frame"] for r in recs] == [0, 1]
 
 
-def test_serve_two_streams(tmp_path):
+def test_serve_two_streams(no_persistent_cache, tmp_path):
     out = tmp_path / "serve.jsonl"
     rc = main(
         [
@@ -80,7 +94,7 @@ def test_serve_two_streams(tmp_path):
     assert all(min(r["confidence"]) > 0.9 for r in recs)
 
 
-def test_serve_sharded(tmp_path, capsys):
+def test_serve_sharded(no_persistent_cache, tmp_path, capsys):
     """`serve --shard` spreads streams over the 8 virtual devices
     (ShardedTracker, collective-free) and keeps the same output
     contract."""

@@ -84,6 +84,37 @@ class TestProcrustes:
         # Rotation angle encoded in w: cos(theta/2).
         assert 2 * math.acos(abs(q[0])) == pytest.approx(1.2, abs=1e-3)
 
+    @pytest.mark.parametrize(
+        "rot,axis",
+        [(rot_x, [1, 0, 0]), (rot_y, [0, 1, 0]), (rot_z, [0, 0, 1])],
+    )
+    def test_quaternion_near_180_about_each_axis(self, cloud, rot, axis):
+        """Shepperd fallback: a ~180° rotation must yield the quaternion
+        for the CORRECT axis — the old x-diagonal-only branch returned
+        180°-about-X for 180° about Y or Z."""
+        res = ProcrustesAnalyzer(cloud).analyze(cloud @ rot(math.pi).T)
+        q = res.rotation_quaternion()
+        assert np.linalg.norm(q) == pytest.approx(1.0, abs=1e-5)
+        assert abs(q[0]) == pytest.approx(0.0, abs=1e-3)  # theta ~= pi
+        got_axis = np.abs(q[1:]) / np.linalg.norm(q[1:])
+        np.testing.assert_allclose(got_axis, axis, atol=1e-3)
+
+    @pytest.mark.parametrize("seed", [7, 11, 99])
+    def test_quaternion_180_stable_under_f32_recovery(self, seed):
+        """A Kabsch-RECOVERED 180° matrix carries float32 noise: its
+        trace can land just above -1, which put the old w-threshold form
+        (w = sqrt(eps)/2 > 1e-6) on the catastrophically-cancelling
+        branch and returned garbage axes. Shepperd's branch-on-largest
+        selection must stay exact for any cloud."""
+        rng = np.random.default_rng(seed)
+        cloud = rng.uniform(-1, 1, size=(30, 3)).astype(np.float32)
+        res = ProcrustesAnalyzer(cloud).analyze(cloud @ rot_z(math.pi).T)
+        q = res.rotation_quaternion()
+        assert abs(q[0]) == pytest.approx(0.0, abs=1e-3), q
+        np.testing.assert_allclose(
+            np.abs(q[1:]) / np.linalg.norm(q[1:]), [0, 0, 1], atol=1e-3
+        )
+
     def test_rejects_wrong_length(self, cloud):
         with pytest.raises(AssertionError):
             ProcrustesAnalyzer(cloud).analyze(cloud[:-1])

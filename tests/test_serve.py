@@ -235,6 +235,27 @@ class TestServeStats:
         ss.close()
 
 
+@pytest.fixture
+def no_persistent_cache():
+    """Disables the persistent compile cache for serve-CLI tests.
+
+    The gated-cascade program these tests compile at the fixture shape
+    reproducibly ABORTS XLA:CPU when a run re-reads its own persisted
+    executable (three full-suite crashes at this exact cache read,
+    2026-08-21; the fresh-compile path is always fine). Until that
+    serialization bug is root-caused, these tests trade ~1 min of
+    recompilation for not poisoning/reading those entries.
+    """
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+@pytest.mark.usefixtures("no_persistent_cache")
 class TestServeCLI:
     def test_no_loop_join_leave(self, tmp_path, capsys):
         """Two slots, three finite sources: when the short source ends,

@@ -52,7 +52,16 @@ class FrameUploader:
     def flush(self):
         """Starts the async upload of the staged batch and returns the
         device array; the previous upload (if any) is awaited first so at
-        most one transfer is in flight."""
+        most one transfer is in flight.
+
+        Fence caveat (tunneled devices): ``block_until_ready`` returns
+        early through the axon tunnel (CLAUDE.md), so on THIS box it is
+        only a local-device fence. The serving loop is still safe
+        because it performs a real device→host readback of every step's
+        outputs before staging the next batch — the step consumed this
+        buffer, so its transfer necessarily landed. Callers that skip
+        per-step readbacks on a tunneled device should force one
+        (np.asarray of any result) before re-staging a buffer."""
         if self._in_flight is not None:
             self._in_flight.block_until_ready()
         buf = self._staging[self._cur]

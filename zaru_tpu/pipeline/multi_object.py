@@ -229,11 +229,23 @@ class MultiObjectTracker:
                 lambda o: o.reshape((b, s) + o.shape[1:]), outs_flat
             )
         else:
-            outputs = jax.vmap(
+            # Exact sampler: per-(stream, slot) sampling may stay nested
+            # (gathers are fine under vmap) but the CNN must still see
+            # ONE flat batch — vmap(vmap(apply_on_view)) kept two batch
+            # dims through every conv, the documented ~4.5x XLA-TPU
+            # pessimization the fast branch above avoids.
+            xs = jax.vmap(
                 lambda f, vrs: jax.vmap(
-                    lambda vr: self.lm_cnn.apply_on_view(params["lm"], f, vr)
+                    lambda vr: self.lm_cnn.sample_view_hwc(f, vr)
                 )(vrs)
-            )(frames, view_rects)
+            )(frames, view_rects)  # [B,S,h,w,3]
+            b, s = xs.shape[:2]
+            outs_flat = jax.vmap(
+                lambda t: self.lm_cnn.apply_tensor_hwc(params["lm"], t)
+            )(xs.reshape((b * s,) + xs.shape[2:]))
+            outputs = jax.tree_util.tree_map(
+                lambda o: o.reshape((b, s) + o.shape[1:]), outs_flat
+            )
         return jax.vmap(jax.vmap(self._track_slot_tail))(
             outputs, view_rects, rois
         )
@@ -381,6 +393,11 @@ class MultiObjectTracker:
         return self._step(self.params, state, frame)
 
     def run_frames(self, state, frames):
+        """Batched ungated step: ``vmap(step)`` — per-stream ``lax.cond``
+        detection scheduling, but the vmap keeps TWO batch dims through
+        the landmark CNN (the documented ~4.5x XLA-TPU conv
+        pessimization). Prefer :meth:`run_frames_gated` for serving; this
+        path exists for per-stream-schedule semantics parity."""
         return self._step_batch(self.params, state, frames)
 
     def run_frames_gated(self, state, frames):

@@ -75,7 +75,10 @@ class Dlt:
         m[1::2] = rows_v
 
         # Null-space vector = last right-singular vector (pnp.rs:119-125).
-        _, s, v_t = np.linalg.svd(m)
+        # full_matrices=False: V stays 12x12 (2N >= 12) but skips the
+        # unused 2Nx2N U — the reference also computes V only
+        # (pnp.rs:119, svd(false, true)).
+        _, s, v_t = np.linalg.svd(m, full_matrices=False)
         p = v_t[11].reshape(3, 4)
 
         # Orthogonalize the rotation part (pnp.rs:127-144).

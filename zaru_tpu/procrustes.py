@@ -90,20 +90,41 @@ class AnalysisResult:
         return self._rotation
 
     def rotation_quaternion(self) -> np.ndarray:
-        """Unit quaternion (w, x, y, z)."""
-        m = self._rotation
-        w = np.sqrt(max(0.0, 1.0 + m[0, 0] + m[1, 1] + m[2, 2])) / 2.0
-        if w > 1e-6:
-            x = (m[2, 1] - m[1, 2]) / (4 * w)
-            y = (m[0, 2] - m[2, 0]) / (4 * w)
-            z = (m[1, 0] - m[0, 1]) / (4 * w)
+        """Unit quaternion (w, x, y, z).
+
+        Shepperd's method: the near-180° fallback must branch on the
+        LARGEST diagonal element — always using the x-diagonal returns a
+        180°-about-X quaternion for a 180° rotation about Y or Z (the
+        x-branch radicand is 0 there and the division degenerates).
+        Matches nalgebra's robust from_rotation_matrix (the reference's
+        path, procrustes.rs:197-263).
+        """
+        m = self._rotation.astype(np.float64)
+        t = m[0, 0] + m[1, 1] + m[2, 2]
+        if t > max(m[0, 0], m[1, 1], m[2, 2]):
+            s = np.sqrt(1.0 + t) * 2.0
+            w = s / 4.0
+            x = (m[2, 1] - m[1, 2]) / s
+            y = (m[0, 2] - m[2, 0]) / s
+            z = (m[1, 0] - m[0, 1]) / s
+        elif m[0, 0] >= m[1, 1] and m[0, 0] >= m[2, 2]:
+            s = np.sqrt(max(1e-18, 1.0 + m[0, 0] - m[1, 1] - m[2, 2])) * 2.0
+            w = (m[2, 1] - m[1, 2]) / s
+            x = s / 4.0
+            y = (m[0, 1] + m[1, 0]) / s
+            z = (m[0, 2] + m[2, 0]) / s
+        elif m[1, 1] >= m[2, 2]:
+            s = np.sqrt(max(1e-18, 1.0 - m[0, 0] + m[1, 1] - m[2, 2])) * 2.0
+            w = (m[0, 2] - m[2, 0]) / s
+            x = (m[0, 1] + m[1, 0]) / s
+            y = s / 4.0
+            z = (m[1, 2] + m[2, 1]) / s
         else:
-            # Fallback for near-180° rotations.
-            x = np.sqrt(max(0.0, 1.0 + m[0, 0] - m[1, 1] - m[2, 2])) / 2.0
-            x = x if x != 0 else 1e-9
-            y = (m[0, 1] + m[1, 0]) / (4 * x)
-            z = (m[0, 2] + m[2, 0]) / (4 * x)
-            w = (m[2, 1] - m[1, 2]) / (4 * x)
+            s = np.sqrt(max(1e-18, 1.0 - m[0, 0] - m[1, 1] + m[2, 2])) * 2.0
+            w = (m[1, 0] - m[0, 1]) / s
+            x = (m[0, 2] + m[2, 0]) / s
+            y = (m[1, 2] + m[2, 1]) / s
+            z = s / 4.0
         q = np.array([w, x, y, z], np.float32)
         return q / np.linalg.norm(q)
 
