@@ -311,6 +311,10 @@ class TestServeCLI:
         (BENCHMARKS "frontier": 24% faster at batch 1) but must keep the
         record schema of the batch program and agree with it on the
         fixture."""
+        import os
+        import subprocess
+        import sys
+
         from zaru_tpu.__main__ import main
         from zaru_tpu.assets import fixture_path
 
@@ -318,11 +322,23 @@ class TestServeCLI:
         outs = {}
         for label, extra in (("single", []), ("batch", ["--batch-program"])):
             out = tmp_path / f"{label}.jsonl"
-            rc = main(
-                ["serve", src, "--streams", "1", "--steps", "3",
-                 "--out", str(out), *extra]
-            )
-            assert rc == 0
+            args = ["serve", src, "--streams", "1", "--steps", "3",
+                    "--out", str(out), *extra]
+            if label == "batch":
+                # Fresh-process isolation for the gated batch-1 program:
+                # compiling/serializing THIS executable late in a long
+                # pytest process has aborted three full-suite runs in
+                # XLA:CPU's persistence path (CLAUDE.md gotcha) while a
+                # fresh process has never failed it. The CLI honors
+                # JAX_PLATFORMS=cpu via the config API.
+                env = dict(os.environ, JAX_PLATFORMS="cpu")
+                proc = subprocess.run(
+                    [sys.executable, "-m", "zaru_tpu", *args],
+                    env=env, capture_output=True, text=True, timeout=900,
+                )
+                assert proc.returncode == 0, proc.stderr[-2000:]
+            else:
+                assert main(args) == 0
             outs[label] = [
                 json.loads(line) for line in out.read_text().splitlines()
             ]
