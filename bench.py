@@ -236,7 +236,12 @@ def child_main(batch: int, budget: float, measure_p50: bool) -> None:
             break
         if (
             len(history) >= 6
-            and max(history[-4:]) <= best * 0.98
+            # "No >2% improvement over the last 4 windows": the recent 4
+            # failed to beat the pre-window best by 2%. (Comparing the
+            # recent max against the GLOBAL best required the last 4 to
+            # be 2% WORSE — flat contended runs never plateaued and
+            # burned their whole budget.)
+            and max(history[-4:]) <= max(history[:-4]) * 1.02
             and max(history) < quiet_fps(batch)
         ):
             log(f"[B={batch}] plateaued at {best:.0f} fps after "
@@ -494,7 +499,10 @@ def main() -> None:
         # overshoot the deadline.
         max_wait = None
         if not _results[BATCH_LARGE]["fps"]:
-            max_wait = max(120.0, min(420.0, remaining - 240.0))
+            # Never exceed remaining - 240 (the reserved retry slice):
+            # a 120 s floor here overshot the deadline under a reduced
+            # ZARU_BENCH_BUDGET.
+            max_wait = min(420.0, max(0.0, remaining - 240.0))
         run = ChildRun(BATCH_SMALL, remaining - 30, measure_p50=True)
         run.wait(max_wait=max_wait, silent_kill=600.0)
         _results[BATCH_SMALL] = {

@@ -83,6 +83,19 @@ class TestExport:
         np.testing.assert_array_equal(back["roi"], np.arange(5, dtype=np.float32))
         assert back["tracking"].item() is False and back["filter"] == {}
 
+    def test_state_sidecar_suffixless_path_roundtrips(self, tmp_path):
+        """np.savez silently appends '.npz' to suffix-less paths; the
+        sidecar API must round-trip for ANY path (writes via a file
+        handle)."""
+        from zaru_tpu.export import load_state, save_state
+
+        state = {"x": jnp.ones(3, jnp.float32)}
+        path = tmp_path / "cascade.state"  # no .npz suffix
+        save_state(state, path)
+        assert path.exists(), list(tmp_path.iterdir())
+        back = load_state(path)
+        np.testing.assert_array_equal(back["x"], np.ones(3, np.float32))
+
     def test_state_sidecar_nested(self, tmp_path):
         """A filter-bearing nested state round-trips value-exactly."""
         from zaru_tpu.export import load_state, save_state

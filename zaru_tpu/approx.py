@@ -22,9 +22,15 @@ def rel_diff_eq(a, b, rel_tolerance) -> bool:
 
 
 def ulps_diff_eq(a, b, ulps_tolerance: int) -> bool:
-    """Units-in-last-place comparison on float32 bit patterns."""
+    """Units-in-last-place comparison on float32 bit patterns.
+
+    Reference contract (approx.rs:38-42): NaN is never equal to
+    anything; -0.0 and +0.0 are always equal (their monotonic integer
+    images coincide)."""
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
+    if np.any(np.isnan(a)) or np.any(np.isnan(b)):
+        return False
     ai = a.view(np.int32).astype(np.int64)
     bi = b.view(np.int32).astype(np.int64)
     # Map negative floats to a monotonic integer line.
@@ -35,16 +41,20 @@ def ulps_diff_eq(a, b, ulps_tolerance: int) -> bool:
 
 
 def assert_approx_eq(a, b, abs=None, rel=None, ulps=None, msg=""):
-    """Assert approximate equality; defaults to rel=1e-4 like the reference's
-    `assert_approx_eq!` default relative tolerance (approx.rs:13-43)."""
+    """Assert approximate equality, reference semantics (approx.rs
+    Asserter::equal, 175-193): the values are equal if ANY supplied
+    comparison passes (OR, not AND); with no tolerances supplied, the
+    defaults are abs=f32 epsilon OR rel=f32 epsilon
+    (approx.rs:59-60)."""
+    eps = float(np.finfo(np.float32).eps)
     if abs is None and rel is None and ulps is None:
-        rel = 1e-4
-    ok = True
+        abs, rel = eps, eps
+    ok = False
     if abs is not None:
-        ok = ok and abs_diff_eq(a, b, abs)
+        ok = ok or abs_diff_eq(a, b, abs)
     if rel is not None:
-        ok = ok and rel_diff_eq(a, b, rel)
+        ok = ok or rel_diff_eq(a, b, rel)
     if ulps is not None:
-        ok = ok and ulps_diff_eq(a, b, ulps)
+        ok = ok or ulps_diff_eq(a, b, ulps)
     if not ok:
         raise AssertionError(f"assert_approx_eq failed: {a!r} !~ {b!r} {msg}")

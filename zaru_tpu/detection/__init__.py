@@ -180,8 +180,10 @@ class Detector:
         fit_view = view.view(rect)
 
         with self._t_infer.measure():
-            outputs = jax.block_until_ready(cnn.estimate(fit_view))
-        outputs = [np.asarray(o) for o in outputs]
+            # Real completion fence: np.asarray readback inside the
+            # infer span (block_until_ready is not a fence through
+            # tunneled devices, CLAUDE.md).
+            outputs = [np.asarray(o) for o in cnn.estimate(fit_view)]
 
         with self._t_extract.measure():
             self._network.extract(outputs, self._thresh, self._detections)

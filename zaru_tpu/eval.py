@@ -363,13 +363,19 @@ def main(argv=None) -> int:
         raise SystemExit(
             f"unknown model(s) {unknown}; valid: {', '.join(sorted(RUNNERS))}"
         )
+    # Distinct report keys even when two --input files share a basename.
+    basenames = [p.rsplit("/", 1)[-1] for p in inputs]
+    labels = [
+        b if basenames.count(b) == 1 else p
+        for b, p in zip(basenames, inputs)
+    ]
     for name in names:
         run = RUNNERS[name]()
-        for path in inputs:
+        for path, label in zip(inputs, labels):
             frame = np.asarray(Image.load(path).to_numpy())
             rows = evaluate_runner(run, frame)
             agg = summarize(rows)
-            key = f"{name}:{path.rsplit('/', 1)[-1]}"
+            key = f"{name}:{label}"
             report[key] = {"rows": rows, "summary": agg}
             if agg.get("valid_transforms"):
                 print(

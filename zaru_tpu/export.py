@@ -141,12 +141,16 @@ def save_state(state, path: str | Path) -> None:
     arbitrary-code-execution risk; ADVICE r4)."""
     leaves: list = []
     spec = _encode_tree(state, leaves)
-    np.savez(
-        Path(path),
-        __format__=np.int64(_SIDECAR_FORMAT),
-        __tree__=np.str_(json.dumps(spec, separators=(",", ":"))),
-        **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)},
-    )
+    # Write through a file handle: np.savez(path) silently appends
+    # ".npz" to suffix-less paths, breaking the save/load round-trip
+    # for arbitrary sidecar paths.
+    with open(Path(path), "wb") as f:
+        np.savez(
+            f,
+            __format__=np.int64(_SIDECAR_FORMAT),
+            __tree__=np.str_(json.dumps(spec, separators=(",", ":"))),
+            **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)},
+        )
 
 
 def load_state(path: str | Path):

@@ -14,8 +14,6 @@ from typing import Protocol
 
 import numpy as np
 
-import jax
-
 from .filters import FilterParams, TimedFilterAdapter
 from .geometry import Rect, RotatedRect, rrect_bounding, rrect_transform_out
 from .image import as_view
@@ -197,8 +195,11 @@ class Estimator:
         rect = view.rect().grow_to_fit_aspect(input_res.aspect_ratio())
         fit_view = view.view(rect)
         with self._t_infer.measure():
-            outputs = jax.block_until_ready(cnn.estimate(fit_view))
-        outputs = [np.asarray(o) for o in outputs]
+            # The np.asarray readback is the REAL completion fence
+            # (block_until_ready returns early through tunneled
+            # devices, CLAUDE.md); it belongs inside the infer span so
+            # the transfer is not misattributed to extract.
+            outputs = [np.asarray(o) for o in cnn.estimate(fit_view)]
 
         with self._t_extract.measure():
             self._network.extract(outputs, self._estimate)

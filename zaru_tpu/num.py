@@ -40,11 +40,14 @@ def round_half_away(x):
     return xp.sign(x) * xp.floor(xp.abs(x) + 0.5)
 
 
-def total_f32_key(x: float) -> float:
-    """Sort key mimicking the reference's ``TotalF32`` total ordering
-    (reference: crates/zaru-image/src/num.rs:7). NaN sorts above +inf."""
-    import math
-
-    if math.isnan(x):
-        return math.inf, 1
-    return x, 0
+def total_f32_key(x: float) -> int:
+    """Sort key implementing the IEEE 754 totalOrder predicate, like the
+    reference's ``TotalF32`` / ``f32::total_cmp``
+    (crates/zaru-image/src/num.rs:5-27): -NaN < -inf < … < -0.0 < +0.0
+    < … < +inf < +NaN. The standard bit trick: reinterpret as i32, then
+    flip all-but-sign for negatives / set the sign for non-negatives so
+    unsigned comparison is the total order."""
+    bits = int(np.float32(x).view(np.uint32))
+    if bits & 0x8000_0000:
+        return 0xFFFF_FFFF - bits
+    return bits | 0x1_0000_0000

@@ -55,7 +55,13 @@ def device_timer(label: str = "block", sink=print):
     try:
         yield sync
     finally:
+        import numpy as np
+
         for p in pending:
-            jax.block_until_ready(p)
+            # A real device->host readback per leaf: block_until_ready
+            # does NOT block through tunneled devices (CLAUDE.md), so it
+            # would time async enqueue, not execution.
+            for leaf in jax.tree_util.tree_leaves(p):
+                np.asarray(leaf)
         jax.effects_barrier()  # flush effectful work (debug prints, etc.)
         sink(f"{label}: {(time.perf_counter() - start) * 1e3:.2f}ms")

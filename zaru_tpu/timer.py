@@ -6,9 +6,11 @@ infer/extract/filter), mirroring the reference's observability surface
 (timer.rs:22-98). `FpsCounter` logs FPS plus timer summaries once per second
 (timer.rs:112-175).
 
-Note for TPU use: JAX dispatch is async — wrap timed device work with
-``jax.block_until_ready`` (the engines in this package do) or the timings
-only measure dispatch.
+Note for TPU use: JAX dispatch is async — force a REAL device→host
+readback (``np.asarray`` of the outputs; the engines in this package do)
+before the clock stops, or the timings only measure dispatch.
+``jax.block_until_ready`` is NOT a sufficient fence on tunneled remote
+devices (CLAUDE.md).
 """
 
 from __future__ import annotations
