@@ -41,12 +41,19 @@ def frame_source(argv=None, loop_static: int = 30):
         from zaru_tpu.video.webcam import Webcam, WebcamOptions
 
         cam = Webcam.open(WebcamOptions())
-        while True:
-            yield cam.read()
     except RuntimeError:
+        # No usable camera: loop the fixture photo. (Only OPEN failures
+        # fall back — a transient mid-stream read error must surface,
+        # not silently turn a live camera into a still-photo run.)
         img = Image.load(fixture_path("sad_linus.jpg"))
         for _ in range(loop_static):
             yield img
+        return
+    try:
+        while True:
+            yield cam.read()
+    finally:
+        cam.close()
 
 
 # --- bench-protocol helpers (r3bench*, irisbench) ------------------------
@@ -70,17 +77,12 @@ def make_emit(out_path):
 
 
 def make_bench_frame():
-    """The bench fixture: sad_linus upscaled to 1080p RGBA u8."""
-    import cv2
-    import numpy as np
+    """The bench fixture: sad_linus upscaled to 1080p RGBA u8 — the ONE
+    shared recipe (zaru_tpu.bench_programs.make_1080p_frame), so every
+    bench measures the identical input."""
+    from zaru_tpu.bench_programs import make_1080p_frame
 
-    from zaru_tpu.image import decode as idec
-
-    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
-    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
-    return np.concatenate(
-        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
-    )
+    return make_1080p_frame()
 
 
 def timed_windows_stats(fn, *args, n=4, label=""):

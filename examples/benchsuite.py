@@ -785,6 +785,10 @@ def cmd_batch_sweep(ctx):
         except Exception as e:
             ctx.emit({"bench": "cascade_production", "batch": batch,
                       "error": f"{type(e).__name__}: {e}"[:300]})
+        # Evict this point's tiled frame batch: keeping every sweep
+        # batch resident pins GBs of [B,1080,1920,4] u8 in HBM on top
+        # of the next point's activations (512 alone is 4.25 GB).
+        ctx._tiled.pop(batch, None)
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,11 @@ from jax import lax
 SCAN_STEPS = int(os.environ.get("ZARU_TPU_DB_SCAN", "16"))
 WINDOWS = int(os.environ.get("ZARU_TPU_DB_WINDOWS", "4"))
 
+# Env var alone is not honored under the axon sitecustomize — the config
+# API call is required for a real CPU run (CLAUDE.md).
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

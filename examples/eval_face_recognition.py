@@ -55,15 +55,23 @@ def main():
     print(f"intra-person distance: mean {np.mean(intra):.3f}" if intra else "no intra pairs")
     print(f"inter-person distance: mean {np.mean(inter):.3f}" if inter else "no inter pairs")
     if intra and inter:
+        # Select AND report balanced accuracy (mean of TPR and TNR):
+        # with imbalanced pair counts the pooled-accuracy optimum is a
+        # different threshold, so reporting pooled accuracy at the
+        # balanced optimum printed a number that was not the optimum of
+        # the printed metric.
+        ia, ie = np.array(intra), np.array(inter)
         thresholds = np.linspace(0, max(inter), 200)
-        best = max(
-            thresholds,
-            key=lambda t: (np.array(intra) < t).mean() + (np.array(inter) >= t).mean(),
+
+        def balanced(t):
+            return ((ia < t).mean() + (ie >= t).mean()) / 2.0
+
+        best = max(thresholds, key=balanced)
+        print(
+            f"best threshold {best:.3f}: balanced accuracy "
+            f"{balanced(best):.3f} (TPR {(ia < best).mean():.3f}, "
+            f"TNR {(ie >= best).mean():.3f})"
         )
-        acc = ((np.array(intra) < best).sum() + (np.array(inter) >= best).sum()) / (
-            len(intra) + len(inter)
-        )
-        print(f"best threshold {best:.3f}: accuracy {acc:.3f}")
 
 
 if __name__ == "__main__":

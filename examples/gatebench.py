@@ -37,6 +37,10 @@ WINDOWS = int(os.environ.get("ZARU_TPU_GATE_WINDOWS", "4"))
 
 
 def main():
+    # Env var alone is not honored under the axon sitecustomize
+    # (CLAUDE.md); honor JAX_PLATFORMS=cpu like the sibling benches.
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),

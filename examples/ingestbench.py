@@ -147,8 +147,9 @@ def main():
             frames = pool.decode_batch([blob] * B)
             t_dec = time.perf_counter() - t0
             for i, f in enumerate(frames):
-                rgba = cv2.cvtColor(f, cv2.COLOR_RGB2BGRA)[..., [2, 1, 0, 3]]
-                up.stage(i, rgba)
+                # One-pass conversion: the BGRA+fancy-index form paid an
+                # extra full-frame copy per staged frame in the hot loop.
+                up.stage(i, cv2.cvtColor(f, cv2.COLOR_RGB2RGBA))
             return t_dec
 
         # Warm: compile the gated program + first upload.

@@ -50,11 +50,9 @@ def main():
 
     dev = jax.devices()[0]
     log(f"on {dev.platform} ({dev.device_kind}), batch {B}")
-    rgb = idec.load_image(fixture_path("sad_linus.jpg"))[..., :3]
-    frame = cv2.resize(rgb, (1920, 1080), interpolation=cv2.INTER_LINEAR)
-    frame = np.concatenate(
-        [frame, np.full((1080, 1920, 1), 255, np.uint8)], axis=-1
-    )
+    from zaru_tpu.bench_programs import make_1080p_frame
+
+    frame = make_1080p_frame()  # the one shared bench-fixture recipe
     frames = jax.jit(
         lambda f: jnp.broadcast_to(f[None], (B, *f.shape)) + 0
     )(jax.device_put(jnp.asarray(frame)))

@@ -20,8 +20,22 @@ def main():
     data = open(path, "rb").read()
 
     for backend in ("cv2", "pil", "native"):
+        # Honest rows only: decode.py silently falls back to cv2 when
+        # PIL is absent (a 'pil' row would report cv2 numbers), and the
+        # native backend raises NativeUnavailable where the toolchain is
+        # missing — both become a 'skipped' row, not a lie or a crash.
+        if backend == "pil":
+            try:
+                import PIL  # noqa: F401
+            except ImportError:
+                print(f"{backend:>7}: skipped (PIL not installed)")
+                continue
         os.environ["ZARU_TPU_JPEG_BACKEND"] = backend
-        idec.decode_jpeg(data)  # warmup / availability check
+        try:
+            idec.decode_jpeg(data)  # warmup / availability check
+        except RuntimeError as e:  # NativeUnavailable subclasses this
+            print(f"{backend:>7}: skipped ({e})")
+            continue
         t0 = time.perf_counter()
         for _ in range(iters):
             rgb = idec.decode_jpeg(data)

@@ -129,6 +129,11 @@ def main():
     np.asarray(xs0[0, 0, 0, 0])
 
     def lm_cnn_only(frames, xs):
+        # DELIBERATELY nested vmap: this arm is the preserved
+        # measured-negative record of the two-batch-dim conv lowering
+        # (~4.5x slower; see BENCHMARKS.md "Nested vmap over CNNs").
+        # The production path flattens [B,S]->[B*S]
+        # (multi_object._track_slots_batch); do not "fix" this arm.
         outs = jax.vmap(
             jax.vmap(lambda t: lm_cnn.apply_tensor_hwc(params["lm"], t))
         )(xs)

@@ -53,7 +53,13 @@ def lib() -> ctypes.CDLL:
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             detail = getattr(e, "stderr", str(e))
             raise NativeUnavailable(f"native build failed: {detail}") from e
-    _lib = ctypes.CDLL(str(_SO_PATH))
+    try:
+        _lib = ctypes.CDLL(str(_SO_PATH))
+    except OSError as e:
+        # A make that exits 0 without producing the .so must still take
+        # the graceful NativeUnavailable fallback paths, not raise a raw
+        # OSError past them.
+        raise NativeUnavailable(f"native library load failed: {e}") from e
     _configure(_lib)
     return _lib
 
